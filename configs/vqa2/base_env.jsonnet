@@ -1,0 +1,196 @@
+// Base environment for VQA2 experiments.
+// Schema-compatible with the reference configs/vqa2/base_env.jsonnet, with the
+// reference's missing locals (VinVL_features, ocr_features, caption_features)
+// defined here so every config evaluates cleanly (SURVEY §2.3).
+
+local train_batch_size = 32;
+local valid_batch_size = 32;
+local test_batch_size = 32;
+local valid_step_size = 100;
+local save_interval = 1;
+local train_epochs = 9999;
+local adam_epsilon = 1e-08;
+local lr = 1e-4;
+local gradient_accumulation_steps = 4;
+local gradient_clipping = 0;
+local warmup_steps = 0;
+local seed = 2021;
+
+local default_cache_folder = '../data/vqa2/cache';
+
+local vqa_data = {
+  "question_files": {
+    "train": '../data/vqa2/v2_OpenEnded_mscoco_train2014_questions.json',
+    "val": '../data/vqa2/v2_OpenEnded_mscoco_val2014_questions.json',
+  },
+  "annotation_files": {
+    "train": '../data/vqa2/v2_mscoco_train2014_annotations.json',
+    "val": '../data/vqa2/v2_mscoco_val2014_annotations.json',
+  },
+};
+local img_data = {
+  "train": "../data/vqa2/train2014",
+  "val": "../data/vqa2/val2014",
+};
+local clip_embeddings = {
+  "train": "../data/vqa2/pre-extracted_features/clip_embeddings/coco_ViT-L_14@336px_train2014.pkl",
+  "val": "../data/vqa2/pre-extracted_features/clip_embeddings/coco_ViT-L_14@336px_val2014.pkl",
+  "test": "../data/vqa2/pre-extracted_features/clip_embeddings/coco_ViT-L_14@336px_test2015.pkl",
+};
+local in_context_examples = {
+  "val": "../data/vqa2/pre-extracted_features/in_context_examples/rices.pkl",
+};
+// Optional text-based-vision feature sources (schema parity with reference).
+local VinVL_features = {
+  "train": "../data/vqa2/pre-extracted_features/vinvl/train_predictions.tsv",
+  "test": "../data/vqa2/pre-extracted_features/vinvl/val_predictions.tsv",
+};
+local ocr_features = {
+  "train": "../data/vqa2/pre-extracted_features/OCR/train",
+  "test": "../data/vqa2/pre-extracted_features/OCR/valid",
+  "combine_with_vinvl": true,
+};
+local caption_features = {
+  "train": "../data/vqa2/pre-extracted_features/captions/train_predictions.json",
+  "valid": "../data/vqa2/pre-extracted_features/captions/valid_predictions.json",
+  "test": "../data/vqa2/pre-extracted_features/captions/test_predictions.json",
+};
+
+{
+  "DATA_FOLDER": "",
+  "EXPERIMENT_FOLDER": "",
+  "TENSORBOARD_FOLDER": "",
+  "WANDB": {
+    "CACHE_DIR": "",
+    "entity": "",
+    "project": "explicit-alignment-tpu",
+    "tags": [],
+  },
+  "platform_type": "jax",
+  "ignore_pretrained_weights": [],
+  "experiment_name": "default_test",
+  "seed": seed,
+  "model_config": {
+    "base_model": "T0_3B",
+    "ModelClass": "VCT0Prefix",
+    "TokenizerClass": "AutoTokenizer",
+    "TokenizerModelVersion": "bigscience/T0_3B",
+    "ConfigClass": "T0_3B",
+    "ModelVersion": "",
+    "pretrained": 1,
+    "modules": [],
+    "model_args": {
+      "prefix_length": 10,
+      "prefix_size": 768,
+      "mapping_type": "mlp",
+      "model_version": "bigscience/T0_3B",
+    },
+    "SPECIAL_TOKENS": {
+      "additional_special_tokens": [],
+    },
+    "input_modules": {"module_list": [], "postprocess_module_list": []},
+    "decoder_input_modules": {"module_list": [], "postprocess_module_list": []},
+    "output_modules": {"module_list": [], "postprocess_module_list": []},
+  },
+  "tpu": {
+    // Device mesh axes for pjit. Sizes of -1 mean "all remaining devices".
+    "mesh": {"data": -1, "model": 1},
+    "compute_dtype": "bfloat16",
+    "params_dtype": "bfloat16",
+    "length_buckets": [128, 256, 512, 1024],
+    "remat": false,
+  },
+  "cache": {
+    "default_folder": default_cache_folder,
+    "regenerate": {
+      "train_data_preprocessed": 0,
+      "val_data_preprocessed": 0,
+      "test_data_preprocessed": 0,
+      "clip_embeddings": 0,
+      "in_context_examples": 0,
+    },
+  },
+  "data_loader": {
+    "type": "DataLoaderVQA2",
+    "dataset_type": "VQA2Dataset",
+    "dummy_dataloader": 0,
+    "additional": {
+      "max_source_length": 1024,
+      "max_decoder_source_length": 1024,
+      "max_target_length": 20,
+      "num_shots": 0,
+    },
+    "dataset_modules": {
+      "module_list": [],
+      "module_dict": {
+        "LoadVQA2Data": {
+          "type": "LoadVQA2Data", "option": "default",
+          "config": {
+            "vqa_data_path": vqa_data,
+            "image_data_path": img_data,
+          },
+        },
+        "LoadClipEmbeddings": {
+          "type": "LoadClipEmbeddings", "option": "default",
+          "config": clip_embeddings,
+        },
+        "LoadInContextExamples": {
+          "type": "LoadInContextExamples", "option": "default",
+          "config": {
+            "file_path": in_context_examples.val,
+          },
+        },
+        "LoadVinVLFeatures": {
+          "type": "LoadVinVLFeatures", "option": "default",
+          "config": VinVL_features,
+        },
+        "LoadGoogleOCRFeatures": {
+          "type": "LoadGoogleOCRFeatures", "option": "default",
+          "config": ocr_features,
+        },
+        "LoadOscarCaptionFeatures": {
+          "type": "LoadOscarCaptionFeatures", "option": "default",
+          "config": caption_features,
+        },
+      },
+    },
+  },
+  "cuda": 0,
+  "gpu_device": 0,
+  "train": {
+    "type": "FewShotVQAExecutor",
+    "epochs": train_epochs,
+    "batch_size": train_batch_size,
+    "lr": lr,
+    "adam_epsilon": adam_epsilon,
+    "load_epoch": -1,
+    "load_model_path": "",
+    "load_best_model": 0,
+    "save_interval": save_interval,
+    "scheduler": "none",
+    "additional": {
+      "gradient_accumulation_steps": gradient_accumulation_steps,
+      "warmup_steps": warmup_steps,
+      "gradient_clipping": gradient_clipping,
+      "save_top_k": -1,
+      "save_top_k_metric": "valid/loss",
+      "save_top_k_mode": "min",
+    },
+  },
+  "valid": {
+    "batch_size": valid_batch_size,
+    "step_size": valid_step_size,
+    "break_interval": 3000,
+    "additional": {},
+  },
+  "test": {
+    "evaluation_name": "test_evaluation",
+    "load_epoch": -1,
+    "load_model_path": "",
+    "load_best_model": 0,
+    "batch_size": test_batch_size,
+    "num_evaluation": 0,
+    "additional": {"multiprocessing": 4},
+  },
+  "metrics": [],
+}
