@@ -19,8 +19,10 @@ logger = logging.getLogger(__name__)
 _COPY_FIELDS = ("info", "task_type", "data_type", "data_subtype", "license")
 
 
-def _as_list(x: Union[Any, List[Any]]) -> List[Any]:
-    return x if isinstance(x, list) else [x]
+def _as_list(x: Union[Any, Sequence[Any]]) -> List[Any]:
+    if isinstance(x, (list, tuple)):
+        return list(x)
+    return [x]
 
 
 class VQA:
