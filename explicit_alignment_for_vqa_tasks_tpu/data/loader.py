@@ -1,0 +1,147 @@
+"""Host batching: samplers, collation, background prefetch.
+
+Replaces the reference's torch DataLoader + multi-worker setup
+(reference: src/data_loader_manager/data_loader_vqa2.py:521-564) with a
+torch-free iterator. Parallelism is a background prefetch thread pipelining
+host-side collation (tokenization, numpy assembly) with device compute —
+on TPU the device step dominates, so one collation thread keeps up where
+torch needed 8 fork workers.
+
+For static device shapes the final partial batch is padded by repeating its
+last sample; a boolean ``sample_valid`` mask marks the real rows so eval
+code can drop padding predictions before the VQA protocol's full-coverage
+check.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+class BatchIterator:
+    """Iterates batches of collated samples with optional shuffling."""
+
+    def __init__(
+        self,
+        dataset: Any,  # needs __len__ and __getitem__
+        batch_size: int,
+        collate_fn: Callable[[List[Any]], Any],
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = False,
+        pad_last_batch: bool = True,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.pad_last_batch = pad_last_batch
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reshuffles per epoch deterministically (seed + epoch)."""
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _index_batches(self) -> List[np.ndarray]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        batches = []
+        for start in range(0, n, self.batch_size):
+            idx = order[start:start + self.batch_size]
+            if len(idx) < self.batch_size:
+                if self.drop_last:
+                    continue
+                if self.pad_last_batch and len(idx) > 0:
+                    pad = np.full(
+                        self.batch_size - len(idx), idx[-1], dtype=idx.dtype
+                    )
+                    idx = np.concatenate([idx, pad])
+            batches.append(idx)
+        return batches
+
+    def _make_batch(self, idx: np.ndarray, n_valid: int) -> Any:
+        samples = [self.dataset[int(i)] for i in idx]
+        batch = self.collate_fn(samples)
+        valid = np.zeros(len(idx), dtype=bool)
+        valid[:n_valid] = True
+        try:
+            batch["sample_valid"] = valid
+        except TypeError:
+            pass
+        return batch
+
+    def __iter__(self) -> Iterator[Any]:
+        batches = self._index_batches()
+        n = len(self.dataset)
+
+        def n_valid(batch_i: int, idx: np.ndarray) -> int:
+            remaining = n - batch_i * self.batch_size
+            return min(len(idx), remaining)
+
+        if self.prefetch <= 0:
+            for i, idx in enumerate(batches):
+                yield self._make_batch(idx, n_valid(i, idx))
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer() -> None:
+            try:
+                for i, idx in enumerate(batches):
+                    if stop.is_set():
+                        return
+                    q.put(self._make_batch(idx, n_valid(i, idx)))
+                q.put(None)
+            except BaseException as exc:  # surface worker errors to consumer
+                q.put(exc)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while thread.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            thread.join(timeout=5)
+
+
+class ListDataset:
+    """Minimal dataset over an in-memory list of samples."""
+
+    def __init__(self, items: Sequence[Any]):
+        self.items = list(items)
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, idx: int) -> Any:
+        return self.items[idx]

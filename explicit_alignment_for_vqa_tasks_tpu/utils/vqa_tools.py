@@ -119,6 +119,33 @@ class VQA:
 
     loadQA = load_qa
 
+    @property
+    def data_subtype(self) -> Optional[str]:
+        return self.dataset.get("data_subtype")
+
+    # official-API alias
+    dataSubType = data_subtype
+
+    def return_qa(self, anns: Sequence[Dict]) -> List[Dict]:
+        """Flatten annotations to {image_id, question_id, question, answers}
+        with answers keyed by answer_id (reference: vqa_tools.py:152-172)."""
+        out = []
+        for ann in anns:
+            qid = ann["question_id"]
+            out.append(
+                {
+                    "image_id": ann["image_id"],
+                    "question_id": qid,
+                    "question": self.qqa[qid]["question"],
+                    "answers": {
+                        a["answer_id"]: a["answer"] for a in ann["answers"]
+                    },
+                }
+            )
+        return out
+
+    returnQA = return_qa
+
     def _make_res_skeleton(self) -> "VQA":
         res = VQA()
         if self.question_file is not None:
