@@ -190,3 +190,46 @@ def clip_vision_params_from_hf(state_dict: Mapping[str, Any], cfg,
             state_dict["visual_projection.weight"], dtype
         ).T
     return params
+
+
+def clip_text_params_from_hf(state_dict: Mapping[str, Any], cfg,
+                             dtype: Any = np.float32) -> Params:
+    """Convert a HF CLIPTextModelWithProjection (or the text tower of
+    CLIPModel) state_dict to our pytree (see models/clip.py)."""
+    sd = {k.removeprefix("text_model."): v for k, v in state_dict.items()}
+    n = cfg.num_layers
+    blocks = {}
+    for ours, theirs, transpose in [
+        ("ln1_scale", "encoder.layers.{}.layer_norm1.weight", False),
+        ("ln1_bias", "encoder.layers.{}.layer_norm1.bias", False),
+        ("q", "encoder.layers.{}.self_attn.q_proj.weight", True),
+        ("q_bias", "encoder.layers.{}.self_attn.q_proj.bias", False),
+        ("k", "encoder.layers.{}.self_attn.k_proj.weight", True),
+        ("k_bias", "encoder.layers.{}.self_attn.k_proj.bias", False),
+        ("v", "encoder.layers.{}.self_attn.v_proj.weight", True),
+        ("v_bias", "encoder.layers.{}.self_attn.v_proj.bias", False),
+        ("o", "encoder.layers.{}.self_attn.out_proj.weight", True),
+        ("o_bias", "encoder.layers.{}.self_attn.out_proj.bias", False),
+        ("ln2_scale", "encoder.layers.{}.layer_norm2.weight", False),
+        ("ln2_bias", "encoder.layers.{}.layer_norm2.bias", False),
+        ("mlp_fc", "encoder.layers.{}.mlp.fc1.weight", True),
+        ("mlp_fc_bias", "encoder.layers.{}.mlp.fc1.bias", False),
+        ("mlp_proj", "encoder.layers.{}.mlp.fc2.weight", True),
+        ("mlp_proj_bias", "encoder.layers.{}.mlp.fc2.bias", False),
+    ]:
+        blocks[ours] = _stack(sd, theirs, n, transpose=transpose, dtype=dtype)
+
+    params: Params = {
+        "token_embedding": _np(sd["embeddings.token_embedding.weight"], dtype),
+        "position_embedding": _np(
+            sd["embeddings.position_embedding.weight"], dtype
+        ),
+        "blocks": blocks,
+        "final_ln_scale": _np(sd["final_layer_norm.weight"], dtype),
+        "final_ln_bias": _np(sd["final_layer_norm.bias"], dtype),
+    }
+    if "text_projection.weight" in state_dict:
+        params["projection"] = _np(
+            state_dict["text_projection.weight"], dtype
+        ).T
+    return params
