@@ -1,0 +1,304 @@
+"""VC-T0: frozen T5/T0 LM + trainable mapping network + prefix splicing.
+
+The flagship model family (reference: src/models/vct0.py:301-544).
+Capabilities reproduced TPU-natively:
+
+  * ``forward``/``caption_loss``: prefix-only captioning loss over the
+    frozen LM (reference: vct0.py:380-394) — the mapping-network training
+    objective;
+  * ``generate`` paths (reference: vct0.py:396-491):
+      - main: embed prompt, project prefixes, splice at sentinels, encode
+        once, greedy-decode with KV cache;
+      - ``no_prefix``: text-only prompt;
+      - ``pass_examples_through_encoder_one_at_a_time``: encode each shot
+        separately (per-shot sentinel <extra_id_i>), concatenate encoder
+        states for the decoder — the blockwise-encoder long-context mode;
+      - forced ``decoder_input_ids`` prefix;
+      - prefix-only captioning generation.
+
+Everything device-side is jit-compiled with static shapes; the frozen LM
+params are stop-gradiented inside the loss so only the mapper trains.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.decoding import (
+    forced_decode_t5,
+    greedy_decode_t5,
+    sequence_scores,
+)
+from ..ops.prefix_splice import T5_SENTINEL_BASE, insert_prefix_into_input
+from ..registry import MODELS
+from . import t5 as t5_lib
+from .mappers import MapperConfig, init_mapper, mapper_apply
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class VCT0Config:
+    lm: t5_lib.T5Config
+    mapper: MapperConfig
+    freeze_lm: bool = True
+
+    @property
+    def prefix_length(self) -> int:
+        return self.mapper.prefix_length
+
+    @classmethod
+    def from_model_args(cls, model_args: Dict[str, Any],
+                        lm_cfg: Optional[t5_lib.T5Config] = None,
+                        freeze_lm: bool = True) -> "VCT0Config":
+        """Build from the config-file ``model_config.model_args`` schema
+        (prefix_length / prefix_size / mapping_type / model_version)."""
+        lm = lm_cfg if lm_cfg is not None else t5_lib.T5Config.t0_3b()
+        mapper = MapperConfig(
+            mapping_type=model_args.get("mapping_type", "mlp"),
+            prefix_size=model_args.get("prefix_size", 768),
+            d_model=lm.d_model,
+            prefix_length=model_args.get("prefix_length", 10),
+            clip_length=model_args.get(
+                "clip_length", model_args.get("prefix_length", 10)
+            ),
+            num_layers=model_args.get("num_layers", 8),
+        )
+        return cls(lm=lm, mapper=mapper, freeze_lm=freeze_lm)
+
+
+def init_vct0_params(
+    key: jax.Array, cfg: VCT0Config, lm_params: Optional[Params] = None,
+    param_dtype: Any = jnp.bfloat16,
+) -> Params:
+    k_lm, k_map = jax.random.split(key)
+    if lm_params is None:
+        lm_params = t5_lib.init_t5_params(k_lm, cfg.lm, param_dtype)
+    latents_init = None
+    if cfg.mapper.mapping_type == "perceiver":
+        # perceiver latents initialized from sampled vocab embeddings
+        # (reference: vct0.py:333-346,359-362)
+        idx = jax.random.randint(
+            k_map, (cfg.mapper.prefix_length,), 0, cfg.lm.vocab_size
+        )
+        latents_init = jnp.asarray(lm_params["shared"])[idx].astype(
+            jnp.float32
+        )
+    mapper_params = init_mapper(k_map, cfg.mapper, latents_init=latents_init)
+    return {"lm": lm_params, "mapper": mapper_params}
+
+
+def project_prefix(
+    cfg: VCT0Config, mapper_params: Params, prefix: jax.Array
+) -> jax.Array:
+    """(B, P, prefix_size) -> (B, P, prefix_length, d_model)."""
+    flat = mapper_apply(cfg.mapper, mapper_params, prefix)
+    return flat.reshape(
+        *prefix.shape[:-1], cfg.mapper.prefix_length, cfg.lm.d_model
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training: captioning loss (prefix-only)
+# ---------------------------------------------------------------------------
+
+def vct0_caption_loss(
+    mapper_params: Params,
+    lm_params: Params,
+    cfg: VCT0Config,
+    clip_embeddings: jax.Array,   # (B, prefix_size)
+    labels: jax.Array,            # (B, T) with -100 padding
+) -> jax.Array:
+    """Captioning loss with the visual prefix as the entire encoder input
+    (reference: vct0.py:380-394)."""
+    if cfg.freeze_lm:
+        lm_params = jax.tree.map(jax.lax.stop_gradient, lm_params)
+    flat = mapper_apply(cfg.mapper, mapper_params, clip_embeddings)
+    prefix_embeds = flat.reshape(
+        -1, cfg.mapper.prefix_length, cfg.lm.d_model
+    ).astype(cfg.lm.dtype)
+    return t5_lib.t5_forward_loss(
+        lm_params, cfg.lm, labels, inputs_embeds=prefix_embeds
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generation
+# ---------------------------------------------------------------------------
+
+class VCT0Model:
+    """Thin orchestration wrapper over the jitted compute units.
+
+    Holds (cfg, params) and exposes the reference's model surface. VCT0Prefix
+    (frozen-LM variant) is this class with ``cfg.freeze_lm=True`` — the
+    trainable parameter set is ``params['mapper']`` only.
+    """
+
+    def __init__(self, cfg: VCT0Config, params: Params):
+        self.cfg = cfg
+        self.params = params
+
+    # --- reference: VCT0Model.forward (vct0.py:380-394) ---
+    def forward_loss(self, clip_embeddings: jax.Array,
+                     labels: jax.Array) -> jax.Array:
+        return vct0_caption_loss(
+            self.params["mapper"], self.params["lm"], self.cfg,
+            clip_embeddings, labels,
+        )
+
+    # --- reference: VCT0Model.generate (vct0.py:396-491) ---
+    def generate(
+        self,
+        prefix: Optional[jax.Array] = None,        # (B, P, prefix_size)
+        question_tokens: Optional[jax.Array] = None,
+        question_mask: Optional[jax.Array] = None,
+        decoder_input_ids: Optional[jax.Array] = None,
+        no_prefix: bool = False,
+        pass_examples_through_encoder_one_at_a_time: bool = False,
+        num_shots: Optional[int] = None,
+        max_new_tokens: int = 20,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Returns (tokens (B, T), token_logprobs (B, T))."""
+        cfg, params = self.cfg, self.params
+        lm_params = params["lm"]
+
+        if no_prefix:
+            if pass_examples_through_encoder_one_at_a_time:
+                return self._generate_one_at_a_time(
+                    prefix=None, question_tokens=question_tokens,
+                    question_mask=question_mask,
+                    max_new_tokens=max_new_tokens,
+                )
+            hidden = t5_lib.t5_encode(
+                lm_params, cfg.lm, input_ids=question_tokens,
+                attention_mask=question_mask,
+            )
+            return greedy_decode_t5(
+                lm_params, cfg.lm, hidden, question_mask, max_new_tokens
+            )
+
+        if pass_examples_through_encoder_one_at_a_time:
+            return self._generate_one_at_a_time(
+                prefix, question_tokens, question_mask, max_new_tokens
+            )
+
+        if question_tokens is not None:
+            num_prefixes = (
+                prefix.shape[1] if num_shots is None else num_shots + 1
+            )
+            text_embeds = t5_lib.embed_tokens(lm_params, cfg.lm,
+                                              question_tokens)
+            prefix_proj = project_prefix(cfg, params["mapper"], prefix)
+
+            if decoder_input_ids is None:
+                joint, joint_mask = insert_prefix_into_input(
+                    question_tokens, text_embeds,
+                    prefix_proj.astype(text_embeds.dtype), question_mask,
+                    prefix_length=cfg.prefix_length,
+                    num_prefixes=num_prefixes,
+                )
+                hidden = t5_lib.t5_encode(
+                    lm_params, cfg.lm, inputs_embeds=joint,
+                    attention_mask=joint_mask,
+                )
+                return greedy_decode_t5(
+                    lm_params, cfg.lm, hidden, joint_mask, max_new_tokens
+                )
+
+            # forced decoder prefix: only the test image's prefix is
+            # spliced (reference: vct0.py:466-482)
+            joint, joint_mask = insert_prefix_into_input(
+                question_tokens, text_embeds,
+                prefix_proj[:, -1:].astype(text_embeds.dtype), question_mask,
+                prefix_length=cfg.prefix_length, num_prefixes=1,
+            )
+            hidden = t5_lib.t5_encode(
+                lm_params, cfg.lm, inputs_embeds=joint,
+                attention_mask=joint_mask,
+            )
+            return forced_decode_t5(
+                lm_params, cfg.lm, hidden, joint_mask, decoder_input_ids,
+                max_new_tokens,
+            )
+
+        # prefix-only captioning generation (reference: vct0.py:484-491)
+        prefix_proj = project_prefix(cfg, params["mapper"], prefix)
+        prefix_embeds = prefix_proj.reshape(
+            prefix.shape[0], -1, cfg.lm.d_model
+        ).astype(cfg.lm.dtype)
+        mask = jnp.ones(prefix_embeds.shape[:2], dtype=jnp.int32)
+        hidden = t5_lib.t5_encode(
+            lm_params, cfg.lm, inputs_embeds=prefix_embeds,
+            attention_mask=mask,
+        )
+        return greedy_decode_t5(lm_params, cfg.lm, hidden, mask,
+                                max_new_tokens)
+
+    def _generate_one_at_a_time(
+        self,
+        prefix: Optional[jax.Array],        # (B, P, prefix_size) or None
+        question_tokens: jax.Array,         # (B, P, L) per-segment tokens
+        question_mask: jax.Array,           # (B, P, L)
+        max_new_tokens: int,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Encode each prompt segment separately and concatenate encoder
+        states for the decoder (reference: vct0.py:410-425,427-444).
+        Segment i's sentinel is <extra_id_i> (id 32099 - i)."""
+        cfg, params = self.cfg, self.params
+        lm_params = params["lm"]
+        num_segments = question_tokens.shape[1]
+        hidden_list, mask_list = [], []
+        prefix_proj = (
+            project_prefix(cfg, params["mapper"], prefix)
+            if prefix is not None else None
+        )
+        for i in range(num_segments):
+            seg_tokens = question_tokens[:, i]
+            seg_mask = question_mask[:, i]
+            if prefix_proj is not None:
+                text_embeds = t5_lib.embed_tokens(lm_params, cfg.lm,
+                                                  seg_tokens)
+                joint, joint_mask = insert_prefix_into_input(
+                    seg_tokens, text_embeds,
+                    prefix_proj[:, i:i + 1].astype(text_embeds.dtype),
+                    seg_mask,
+                    prefix_length=cfg.prefix_length, num_prefixes=1,
+                    base_id=T5_SENTINEL_BASE - i,
+                )
+                hidden = t5_lib.t5_encode(
+                    lm_params, cfg.lm, inputs_embeds=joint,
+                    attention_mask=joint_mask,
+                )
+                mask_list.append(joint_mask)
+            else:
+                hidden = t5_lib.t5_encode(
+                    lm_params, cfg.lm, input_ids=seg_tokens,
+                    attention_mask=seg_mask,
+                )
+                mask_list.append(seg_mask)
+            hidden_list.append(hidden)
+        encoder_hidden = jnp.concatenate(hidden_list, axis=1)
+        encoder_mask = jnp.concatenate(mask_list, axis=1)
+        return greedy_decode_t5(
+            lm_params, cfg.lm, encoder_hidden, encoder_mask, max_new_tokens
+        )
+
+    def score_sequences(self, tokens: jax.Array,
+                        token_logprobs: jax.Array) -> jax.Array:
+        return sequence_scores(tokens, token_logprobs)
+
+
+@MODELS.register("VCT0Model")
+def build_vct0_model(cfg: VCT0Config, params: Params) -> VCT0Model:
+    return VCT0Model(dataclasses.replace(cfg, freeze_lm=False), params)
+
+
+@MODELS.register("VCT0Prefix")
+def build_vct0_prefix(cfg: VCT0Config, params: Params) -> VCT0Model:
+    """Frozen-LM variant (reference: vct0.py:535-544): only
+    params['mapper'] is trainable."""
+    return VCT0Model(dataclasses.replace(cfg, freeze_lm=True), params)

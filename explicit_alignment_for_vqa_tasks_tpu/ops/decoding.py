@@ -1,0 +1,193 @@
+"""Autoregressive decoding loops (greedy, with per-token scores).
+
+Replaces HF ``generate`` (reference: src/models/vct0.py:462-464) and the
+reference's cache-less GPT-2 greedy loop (reference: src/models/
+clipcap.py:344-471) with ``lax.scan`` loops over a KV cache — fixed step
+count (static shapes; finished rows emit pad), so XLA compiles ONE program
+per (batch, length) bucket.
+
+Also returns per-token log-probabilities of the chosen tokens so the
+ensemble scorer can reproduce the reference's sequence-scoring semantics
+(summed log-probs skipping token ids {0,1,2},
+reference: src/trainers/few_shot_vqa_executor.py:316-324).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import gpt2 as gpt2_lib
+from ..models import t5 as t5_lib
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
+def greedy_decode_t5(
+    params: Dict[str, Any],
+    cfg: t5_lib.T5Config,
+    encoder_hidden: jax.Array,     # (B, L, D)
+    encoder_mask: jax.Array,       # (B, L)
+    max_new_tokens: int = 20,
+) -> Tuple[jax.Array, jax.Array]:
+    """Greedy seq2seq decode from precomputed encoder states.
+
+    Returns (tokens (B, T) int32, token_logprobs (B, T) f32). Rows stop at
+    EOS; subsequent slots are pad with logprob 0."""
+    batch = encoder_hidden.shape[0]
+    cache = t5_lib.init_decode_cache(params, cfg, encoder_hidden,
+                                     max_new_tokens)
+
+    def step(carry, _):
+        token, cache, finished = carry
+        logits, cache = t5_lib.t5_decode_step(
+            params, cfg, token, cache, encoder_mask
+        )
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        next_token = jnp.where(finished, cfg.pad_token_id, next_token)
+        token_lp = jnp.take_along_axis(
+            log_probs, next_token[:, None], axis=-1
+        )[:, 0]
+        token_lp = jnp.where(finished, 0.0, token_lp)
+        new_finished = finished | (next_token == cfg.eos_token_id)
+        return (next_token, cache, new_finished), (next_token, token_lp)
+
+    start = jnp.full((batch,), cfg.decoder_start_token_id, dtype=jnp.int32)
+    finished = jnp.zeros((batch,), dtype=bool)
+    _, (tokens, logprobs) = jax.lax.scan(
+        step, (start, cache, finished), None, length=max_new_tokens
+    )
+    return tokens.T, logprobs.T
+
+
+def encode_and_greedy_decode_t5(
+    params: Dict[str, Any],
+    cfg: t5_lib.T5Config,
+    inputs_embeds: jax.Array,
+    attention_mask: jax.Array,
+    max_new_tokens: int = 20,
+) -> Tuple[jax.Array, jax.Array]:
+    """Encoder pass + greedy decode (the ``lm.generate(inputs_embeds=...)``
+    surface of the reference)."""
+    encoder_hidden = t5_lib.t5_encode(
+        params, cfg, inputs_embeds=inputs_embeds,
+        attention_mask=attention_mask,
+    )
+    return greedy_decode_t5(params, cfg, encoder_hidden, attention_mask,
+                            max_new_tokens)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
+def forced_decode_t5(
+    params: Dict[str, Any],
+    cfg: t5_lib.T5Config,
+    encoder_hidden: jax.Array,
+    encoder_mask: jax.Array,
+    decoder_input_ids: jax.Array,   # (B, T0) forced prefix (incl. start)
+    max_new_tokens: int = 20,
+) -> Tuple[jax.Array, jax.Array]:
+    """Teacher-force a decoder prefix, then continue greedily
+    (the ``decoder_input_ids`` path, reference: vct0.py:466-482).
+    Returns only the newly generated tokens."""
+    batch, forced_len = decoder_input_ids.shape
+    cache = t5_lib.init_decode_cache(
+        params, cfg, encoder_hidden, forced_len + max_new_tokens
+    )
+
+    def forced_step(carry, token):
+        cache, _ = carry
+        logits, cache = t5_lib.t5_decode_step(
+            params, cfg, token, cache, encoder_mask
+        )
+        return (cache, logits), None
+
+    (cache, last_logits), _ = jax.lax.scan(
+        forced_step,
+        (cache, jnp.zeros((batch, cfg.vocab_size), dtype=jnp.float32)),
+        decoder_input_ids.T,
+    )
+
+    def step(carry, _):
+        logits, cache, finished = carry
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        next_token = jnp.where(finished, cfg.pad_token_id, next_token)
+        token_lp = jnp.take_along_axis(
+            log_probs, next_token[:, None], axis=-1
+        )[:, 0]
+        token_lp = jnp.where(finished, 0.0, token_lp)
+        finished = finished | (next_token == cfg.eos_token_id)
+        new_logits, cache = t5_lib.t5_decode_step(
+            params, cfg, next_token, cache, encoder_mask
+        )
+        return (new_logits, cache, finished), (next_token, token_lp)
+
+    finished = jnp.zeros((batch,), dtype=bool)
+    _, (tokens, logprobs) = jax.lax.scan(
+        step, (last_logits, cache, finished), None, length=max_new_tokens
+    )
+    return tokens.T, logprobs.T
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
+def greedy_decode_gpt2(
+    params: Dict[str, Any],
+    cfg: gpt2_lib.GPT2Config,
+    inputs_embeds: jax.Array,       # (B, L, D) prompt incl. prefix + pos emb
+    attention_mask: jax.Array,      # (B, L)
+    max_new_tokens: int = 20,
+    eos_token_id: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Greedy decoder-only generation from embedded prompt
+    (fixes the reference's cache-less loop, clipcap.py:414-419).
+
+    Returns (tokens (B, T), token_logprobs (B, T))."""
+    eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
+    batch, prompt_len, _ = inputs_embeds.shape
+    max_len = prompt_len + max_new_tokens
+    cache = gpt2_lib.init_gpt2_cache(cfg, batch, max_len)
+    full_mask = jnp.concatenate(
+        [attention_mask,
+         jnp.ones((batch, max_new_tokens), dtype=attention_mask.dtype)],
+        axis=1,
+    )
+    logits, cache = gpt2_lib.gpt2_prefill(
+        params, cfg, inputs_embeds, attention_mask, cache
+    )
+
+    def step(carry, _):
+        logits, cache, finished = carry
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        next_token = jnp.where(finished, eos, next_token)
+        token_lp = jnp.take_along_axis(
+            log_probs, next_token[:, None], axis=-1
+        )[:, 0]
+        token_lp = jnp.where(finished, 0.0, token_lp)
+        finished = finished | (next_token == eos)
+        new_logits, cache = gpt2_lib.gpt2_decode_step(
+            params, cfg, next_token, cache, full_mask
+        )
+        return (new_logits, cache, finished), (next_token, token_lp)
+
+    finished = jnp.zeros((batch,), dtype=bool)
+    _, (tokens, logprobs) = jax.lax.scan(
+        step, (logits, cache, finished), None, length=max_new_tokens
+    )
+    return tokens.T, logprobs.T
+
+
+def sequence_scores(
+    tokens: jax.Array,        # (B, T)
+    token_logprobs: jax.Array,  # (B, T)
+    skip_token_ids: Tuple[int, ...] = (0, 1, 2),
+) -> jax.Array:
+    """Sum of generated-token log-probs, skipping special ids — the
+    ensemble-member score (reference: few_shot_vqa_executor.py:316-324)."""
+    skip = jnp.zeros_like(tokens, dtype=bool)
+    for tid in skip_token_ids:
+        skip = skip | (tokens == tid)
+    return jnp.where(skip, 0.0, token_logprobs).sum(axis=-1)

@@ -1,0 +1,143 @@
+"""Decode loops vs HF generate (greedy) on tiny random models."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp  # noqa: E402
+
+from explicit_alignment_for_vqa_tasks_tpu.models.gpt2 import (  # noqa: E402
+    GPT2Config,
+    gpt2_embed,
+)
+from explicit_alignment_for_vqa_tasks_tpu.models.hf_convert import (  # noqa: E402
+    gpt2_params_from_hf,
+    t5_params_from_hf,
+)
+from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (  # noqa: E402
+    T5Config,
+    t5_encode,
+)
+from explicit_alignment_for_vqa_tasks_tpu.ops.decoding import (  # noqa: E402
+    forced_decode_t5,
+    greedy_decode_gpt2,
+    greedy_decode_t5,
+    sequence_scores,
+)
+
+
+@pytest.fixture(scope="module")
+def t5_pair():
+    hf_cfg = transformers.T5Config(
+        vocab_size=64, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+        num_layers=2, num_decoder_layers=2, feed_forward_proj="gated-gelu",
+        tie_word_embeddings=False, dropout_rate=0.0,
+        relative_attention_num_buckets=8, relative_attention_max_distance=16,
+        decoder_start_token_id=0, pad_token_id=0, eos_token_id=1,
+    )
+    torch.manual_seed(1)
+    hf_model = transformers.T5ForConditionalGeneration(hf_cfg).eval()
+    cfg = T5Config(
+        vocab_size=64, d_model=32, d_kv=8, num_heads=4, d_ff=64,
+        num_encoder_layers=2, num_decoder_layers=2,
+        relative_attention_num_buckets=8, relative_attention_max_distance=16,
+        dtype=jnp.float32,
+    )
+    params = jax.tree.map(
+        jnp.asarray, t5_params_from_hf(hf_model.state_dict(), cfg)
+    )
+    return hf_model, cfg, params
+
+
+class TestT5GreedyDecode:
+    def test_matches_hf_generate(self, t5_pair):
+        hf_model, cfg, params = t5_pair
+        rng = np.random.default_rng(0)
+        ids = rng.integers(2, 64, size=(3, 9)).astype(np.int64)
+        mask = np.ones((3, 9), dtype=np.int64)
+        T = 8
+        with torch.no_grad():
+            want = hf_model.generate(
+                input_ids=torch.tensor(ids),
+                attention_mask=torch.tensor(mask),
+                max_length=T + 1,  # HF counts the decoder start token
+                do_sample=False, num_beams=1,
+            ).numpy()[:, 1:]
+        hidden = t5_encode(
+            params, cfg, input_ids=jnp.asarray(ids.astype(np.int32)),
+            attention_mask=jnp.asarray(mask.astype(np.int32)),
+        )
+        tokens, logprobs = greedy_decode_t5(
+            params, cfg, hidden, jnp.asarray(mask.astype(np.int32)),
+            max_new_tokens=T,
+        )
+        got = np.asarray(tokens)
+        # HF pads after EOS with pad token; compare elementwise
+        assert got.shape == (3, T)
+        np.testing.assert_array_equal(got, want)
+        assert np.all(np.asarray(logprobs) <= 1e-6)
+
+    def test_forced_decoder_prefix(self, t5_pair):
+        hf_model, cfg, params = t5_pair
+        rng = np.random.default_rng(4)
+        ids = rng.integers(2, 64, size=(2, 7)).astype(np.int64)
+        mask = np.ones((2, 7), dtype=np.int64)
+        forced = np.array([[0, 17, 23], [0, 9, 12]], dtype=np.int64)
+        T = 5
+        with torch.no_grad():
+            want = hf_model.generate(
+                input_ids=torch.tensor(ids),
+                attention_mask=torch.tensor(mask),
+                decoder_input_ids=torch.tensor(forced),
+                max_length=forced.shape[1] + T,
+                do_sample=False, num_beams=1,
+            ).numpy()[:, forced.shape[1]:]
+        hidden = t5_encode(
+            params, cfg, input_ids=jnp.asarray(ids.astype(np.int32)),
+            attention_mask=jnp.asarray(mask.astype(np.int32)),
+        )
+        tokens, _ = forced_decode_t5(
+            params, cfg, hidden, jnp.asarray(mask.astype(np.int32)),
+            jnp.asarray(forced.astype(np.int32)), max_new_tokens=T,
+        )
+        np.testing.assert_array_equal(np.asarray(tokens), want)
+
+
+class TestGPT2GreedyDecode:
+    def test_matches_hf_generate(self):
+        hf_cfg = transformers.GPT2Config(
+            vocab_size=128, n_positions=64, n_embd=32, n_layer=2, n_head=4,
+            resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+            eos_token_id=127, bos_token_id=126, pad_token_id=127,
+        )
+        torch.manual_seed(2)
+        hf_model = transformers.GPT2LMHeadModel(hf_cfg).eval()
+        cfg = GPT2Config.small_test(eos_token_id=127)
+        params = jax.tree.map(
+            jnp.asarray, gpt2_params_from_hf(hf_model.state_dict(), cfg)
+        )
+        rng = np.random.default_rng(3)
+        ids = rng.integers(0, 126, size=(2, 6)).astype(np.int64)
+        T = 7
+        with torch.no_grad():
+            want = hf_model.generate(
+                input_ids=torch.tensor(ids),
+                max_length=6 + T, do_sample=False, num_beams=1,
+            ).numpy()[:, 6:]
+        embeds = gpt2_embed(params, cfg, jnp.asarray(ids.astype(np.int32)))
+        mask = jnp.ones((2, 6), dtype=jnp.int32)
+        tokens, _ = greedy_decode_gpt2(
+            params, cfg, embeds, mask, max_new_tokens=T
+        )
+        np.testing.assert_array_equal(np.asarray(tokens), want)
+
+
+class TestSequenceScores:
+    def test_skips_special_ids(self):
+        tokens = jnp.asarray([[5, 1, 0], [7, 8, 1]])
+        lps = jnp.asarray([[-1.0, -2.0, -3.0], [-0.5, -0.25, -4.0]])
+        scores = sequence_scores(tokens, lps, skip_token_ids=(0, 1, 2))
+        np.testing.assert_allclose(np.asarray(scores), [-1.0, -0.75])
