@@ -127,8 +127,125 @@ def vct0_caption_loss(
 
 
 # ---------------------------------------------------------------------------
-# Generation
+# Generation — jitted compute units (one compiled program per shape bucket)
 # ---------------------------------------------------------------------------
+
+import functools  # noqa: E402
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_prefixes", "max_new_tokens")
+)
+def _generate_main(
+    lm_params: Params, mapper_params: Params, cfg: VCT0Config,
+    prefix: jax.Array, tokens: jax.Array, mask: jax.Array,
+    num_prefixes: int, max_new_tokens: int,
+):
+    text_embeds = t5_lib.embed_tokens(lm_params, cfg.lm, tokens)
+    prefix_proj = project_prefix(cfg, mapper_params, prefix)
+    joint, joint_mask = insert_prefix_into_input(
+        tokens, text_embeds, prefix_proj.astype(text_embeds.dtype), mask,
+        prefix_length=cfg.prefix_length, num_prefixes=num_prefixes,
+    )
+    hidden = t5_lib.t5_encode(
+        lm_params, cfg.lm, inputs_embeds=joint, attention_mask=joint_mask
+    )
+    return greedy_decode_t5(lm_params, cfg.lm, hidden, joint_mask,
+                            max_new_tokens)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
+def _generate_no_prefix(
+    lm_params: Params, cfg: VCT0Config, tokens: jax.Array, mask: jax.Array,
+    max_new_tokens: int,
+):
+    hidden = t5_lib.t5_encode(
+        lm_params, cfg.lm, input_ids=tokens, attention_mask=mask
+    )
+    return greedy_decode_t5(lm_params, cfg.lm, hidden, mask, max_new_tokens)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
+def _generate_prefix_only(
+    lm_params: Params, mapper_params: Params, cfg: VCT0Config,
+    prefix: jax.Array, max_new_tokens: int,
+):
+    prefix_proj = project_prefix(cfg, mapper_params, prefix)
+    prefix_embeds = prefix_proj.reshape(
+        prefix.shape[0], -1, cfg.lm.d_model
+    ).astype(cfg.lm.dtype)
+    mask = jnp.ones(prefix_embeds.shape[:2], dtype=jnp.int32)
+    hidden = t5_lib.t5_encode(
+        lm_params, cfg.lm, inputs_embeds=prefix_embeds, attention_mask=mask
+    )
+    return greedy_decode_t5(lm_params, cfg.lm, hidden, mask, max_new_tokens)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
+def _generate_forced(
+    lm_params: Params, mapper_params: Params, cfg: VCT0Config,
+    prefix: jax.Array, tokens: jax.Array, mask: jax.Array,
+    decoder_input_ids: jax.Array, max_new_tokens: int,
+):
+    text_embeds = t5_lib.embed_tokens(lm_params, cfg.lm, tokens)
+    prefix_proj = project_prefix(cfg, mapper_params, prefix)
+    joint, joint_mask = insert_prefix_into_input(
+        tokens, text_embeds, prefix_proj[:, -1:].astype(text_embeds.dtype),
+        mask, prefix_length=cfg.prefix_length, num_prefixes=1,
+    )
+    hidden = t5_lib.t5_encode(
+        lm_params, cfg.lm, inputs_embeds=joint, attention_mask=joint_mask
+    )
+    return forced_decode_t5(
+        lm_params, cfg.lm, hidden, joint_mask, decoder_input_ids,
+        max_new_tokens,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_segments", "max_new_tokens",
+                              "with_prefix")
+)
+def _generate_one_at_a_time(
+    lm_params: Params, mapper_params: Params, cfg: VCT0Config,
+    prefix: Optional[jax.Array], tokens: jax.Array, mask: jax.Array,
+    num_segments: int, max_new_tokens: int, with_prefix: bool,
+):
+    """Blockwise encoder: encode each segment separately, concatenate
+    encoder states + masks for the decoder (reference: vct0.py:427-444).
+    Segment i's sentinel is <extra_id_i>."""
+    hidden_list, mask_list = [], []
+    prefix_proj = (
+        project_prefix(cfg, mapper_params, prefix) if with_prefix else None
+    )
+    for i in range(num_segments):
+        seg_tokens, seg_mask = tokens[:, i], mask[:, i]
+        if with_prefix:
+            text_embeds = t5_lib.embed_tokens(lm_params, cfg.lm, seg_tokens)
+            joint, joint_mask = insert_prefix_into_input(
+                seg_tokens, text_embeds,
+                prefix_proj[:, i:i + 1].astype(text_embeds.dtype), seg_mask,
+                prefix_length=cfg.prefix_length, num_prefixes=1,
+                base_id=T5_SENTINEL_BASE - i,
+            )
+            hidden = t5_lib.t5_encode(
+                lm_params, cfg.lm, inputs_embeds=joint,
+                attention_mask=joint_mask,
+            )
+            mask_list.append(joint_mask)
+        else:
+            hidden = t5_lib.t5_encode(
+                lm_params, cfg.lm, input_ids=seg_tokens,
+                attention_mask=seg_mask,
+            )
+            mask_list.append(seg_mask)
+        hidden_list.append(hidden)
+    encoder_hidden = jnp.concatenate(hidden_list, axis=1)
+    encoder_mask = jnp.concatenate(mask_list, axis=1)
+    return greedy_decode_t5(
+        lm_params, cfg.lm, encoder_hidden, encoder_mask, max_new_tokens
+    )
+
 
 class VCT0Model:
     """Thin orchestration wrapper over the jitted compute units.
@@ -164,127 +281,47 @@ class VCT0Model:
     ) -> Tuple[jax.Array, jax.Array]:
         """Returns (tokens (B, T), token_logprobs (B, T))."""
         cfg, params = self.cfg, self.params
-        lm_params = params["lm"]
+        lm_params, mapper_params = params["lm"], params["mapper"]
 
         if no_prefix:
             if pass_examples_through_encoder_one_at_a_time:
-                return self._generate_one_at_a_time(
-                    prefix=None, question_tokens=question_tokens,
-                    question_mask=question_mask,
-                    max_new_tokens=max_new_tokens,
+                return _generate_one_at_a_time(
+                    lm_params, mapper_params, cfg, None, question_tokens,
+                    question_mask, num_segments=question_tokens.shape[1],
+                    max_new_tokens=max_new_tokens, with_prefix=False,
                 )
-            hidden = t5_lib.t5_encode(
-                lm_params, cfg.lm, input_ids=question_tokens,
-                attention_mask=question_mask,
-            )
-            return greedy_decode_t5(
-                lm_params, cfg.lm, hidden, question_mask, max_new_tokens
+            return _generate_no_prefix(
+                lm_params, cfg, question_tokens, question_mask,
+                max_new_tokens,
             )
 
         if pass_examples_through_encoder_one_at_a_time:
-            return self._generate_one_at_a_time(
-                prefix, question_tokens, question_mask, max_new_tokens
+            return _generate_one_at_a_time(
+                lm_params, mapper_params, cfg, prefix, question_tokens,
+                question_mask, num_segments=question_tokens.shape[1],
+                max_new_tokens=max_new_tokens, with_prefix=True,
             )
 
         if question_tokens is not None:
             num_prefixes = (
                 prefix.shape[1] if num_shots is None else num_shots + 1
             )
-            text_embeds = t5_lib.embed_tokens(lm_params, cfg.lm,
-                                              question_tokens)
-            prefix_proj = project_prefix(cfg, params["mapper"], prefix)
-
             if decoder_input_ids is None:
-                joint, joint_mask = insert_prefix_into_input(
-                    question_tokens, text_embeds,
-                    prefix_proj.astype(text_embeds.dtype), question_mask,
-                    prefix_length=cfg.prefix_length,
-                    num_prefixes=num_prefixes,
+                return _generate_main(
+                    lm_params, mapper_params, cfg, prefix, question_tokens,
+                    question_mask, num_prefixes=num_prefixes,
+                    max_new_tokens=max_new_tokens,
                 )
-                hidden = t5_lib.t5_encode(
-                    lm_params, cfg.lm, inputs_embeds=joint,
-                    attention_mask=joint_mask,
-                )
-                return greedy_decode_t5(
-                    lm_params, cfg.lm, hidden, joint_mask, max_new_tokens
-                )
-
             # forced decoder prefix: only the test image's prefix is
             # spliced (reference: vct0.py:466-482)
-            joint, joint_mask = insert_prefix_into_input(
-                question_tokens, text_embeds,
-                prefix_proj[:, -1:].astype(text_embeds.dtype), question_mask,
-                prefix_length=cfg.prefix_length, num_prefixes=1,
-            )
-            hidden = t5_lib.t5_encode(
-                lm_params, cfg.lm, inputs_embeds=joint,
-                attention_mask=joint_mask,
-            )
-            return forced_decode_t5(
-                lm_params, cfg.lm, hidden, joint_mask, decoder_input_ids,
-                max_new_tokens,
+            return _generate_forced(
+                lm_params, mapper_params, cfg, prefix, question_tokens,
+                question_mask, decoder_input_ids, max_new_tokens,
             )
 
         # prefix-only captioning generation (reference: vct0.py:484-491)
-        prefix_proj = project_prefix(cfg, params["mapper"], prefix)
-        prefix_embeds = prefix_proj.reshape(
-            prefix.shape[0], -1, cfg.lm.d_model
-        ).astype(cfg.lm.dtype)
-        mask = jnp.ones(prefix_embeds.shape[:2], dtype=jnp.int32)
-        hidden = t5_lib.t5_encode(
-            lm_params, cfg.lm, inputs_embeds=prefix_embeds,
-            attention_mask=mask,
-        )
-        return greedy_decode_t5(lm_params, cfg.lm, hidden, mask,
-                                max_new_tokens)
-
-    def _generate_one_at_a_time(
-        self,
-        prefix: Optional[jax.Array],        # (B, P, prefix_size) or None
-        question_tokens: jax.Array,         # (B, P, L) per-segment tokens
-        question_mask: jax.Array,           # (B, P, L)
-        max_new_tokens: int,
-    ) -> Tuple[jax.Array, jax.Array]:
-        """Encode each prompt segment separately and concatenate encoder
-        states for the decoder (reference: vct0.py:410-425,427-444).
-        Segment i's sentinel is <extra_id_i> (id 32099 - i)."""
-        cfg, params = self.cfg, self.params
-        lm_params = params["lm"]
-        num_segments = question_tokens.shape[1]
-        hidden_list, mask_list = [], []
-        prefix_proj = (
-            project_prefix(cfg, params["mapper"], prefix)
-            if prefix is not None else None
-        )
-        for i in range(num_segments):
-            seg_tokens = question_tokens[:, i]
-            seg_mask = question_mask[:, i]
-            if prefix_proj is not None:
-                text_embeds = t5_lib.embed_tokens(lm_params, cfg.lm,
-                                                  seg_tokens)
-                joint, joint_mask = insert_prefix_into_input(
-                    seg_tokens, text_embeds,
-                    prefix_proj[:, i:i + 1].astype(text_embeds.dtype),
-                    seg_mask,
-                    prefix_length=cfg.prefix_length, num_prefixes=1,
-                    base_id=T5_SENTINEL_BASE - i,
-                )
-                hidden = t5_lib.t5_encode(
-                    lm_params, cfg.lm, inputs_embeds=joint,
-                    attention_mask=joint_mask,
-                )
-                mask_list.append(joint_mask)
-            else:
-                hidden = t5_lib.t5_encode(
-                    lm_params, cfg.lm, input_ids=seg_tokens,
-                    attention_mask=seg_mask,
-                )
-                mask_list.append(seg_mask)
-            hidden_list.append(hidden)
-        encoder_hidden = jnp.concatenate(hidden_list, axis=1)
-        encoder_mask = jnp.concatenate(mask_list, axis=1)
-        return greedy_decode_t5(
-            lm_params, cfg.lm, encoder_hidden, encoder_mask, max_new_tokens
+        return _generate_prefix_only(
+            lm_params, mapper_params, cfg, prefix, max_new_tokens
         )
 
     def score_sequences(self, tokens: jax.Array,

@@ -1,0 +1,19 @@
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate_params,
+    replicated,
+    shard_batch,
+    shard_lm_params,
+    t5_param_specs,
+)
+
+__all__ = [
+    "batch_sharding",
+    "make_mesh",
+    "replicate_params",
+    "replicated",
+    "shard_batch",
+    "shard_lm_params",
+    "t5_param_specs",
+]

@@ -1,0 +1,110 @@
+"""Device mesh construction and SPMD sharding helpers.
+
+The reference has no real distribution (latent PL-DDP only, SURVEY §2.2);
+here parallelism is first-class: a ``jax.sharding.Mesh`` with ``data`` and
+``model`` axes from ``config.tpu.mesh``, batch sharded over ``data``,
+params replicated (or sharded over ``model`` for large LMs — see
+partition_lm_params). Collectives ride ICI via XLA; a mesh of size 1
+degrades gracefully to single-chip.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+
+def make_mesh(config: Optional[Any] = None,
+              devices: Optional[list] = None) -> Mesh:
+    """Build a (data, model) mesh from config.tpu.mesh sizes; -1 means
+    "all remaining devices"."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    sizes: Dict[str, int] = {"data": -1, "model": 1}
+    if config is not None:
+        sizes.update(dict(config.get("tpu", {}).get("mesh", {})))
+    model = sizes.get("model", 1)
+    if model in (-1, 0):
+        model = 1
+    data = sizes.get("data", -1)
+    if data in (-1, 0):
+        data = n // model
+    if data * model != n:
+        raise ValueError(
+            f"mesh sizes data={data} x model={model} != {n} devices"
+        )
+    mesh_devices = np.asarray(devices).reshape(data, model)
+    return Mesh(mesh_devices, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading batch axis split over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Device-put array leaves with the batch axis over `data`; non-array
+    leaves (strings, lists of meta) pass through untouched."""
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        if isinstance(x, (np.ndarray, jax.Array)) and np.ndim(x) >= 1:
+            return jax.device_put(x, sharding)
+        return x
+
+    return {k: put(v) for k, v in batch.items()}
+
+
+def replicate_params(mesh: Mesh, params: Any) -> Any:
+    """Replicate a param pytree across the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), params)
+
+
+# ---------------------------------------------------------------------------
+# Model-parallel partition specs for the frozen LM (optional `model` axis)
+# ---------------------------------------------------------------------------
+
+def t5_param_specs(params: Any) -> Any:
+    """PartitionSpecs for the stacked T5 pytree: attention/FFN weight
+    matrices sharded over `model` on their contraction-friendly axis,
+    embeddings sharded over vocab, everything else replicated.
+
+    Layout follows the megatron recipe: q/k/v and wi_* split the OUTPUT
+    (heads / ffn) dim, o and wo split the INPUT dim, so each block needs
+    a single psum at its end (inserted automatically by XLA under jit).
+    """
+
+    def spec_for(path: tuple, leaf: Any) -> P:
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        key = names[-1] if names else ""
+        stacked = leaf.ndim == 3  # (layers, in, out)
+        if key in ("q", "k", "v", "wi_0", "wi_1"):
+            return P(None, None, "model") if stacked else P(None, "model")
+        if key in ("o", "wo"):
+            return P(None, "model", None) if stacked else P("model", None)
+        if key in ("shared", "lm_head"):
+            # keep replicated: gathers on every embed/unembed usually cost
+            # more than the memory saved at <= 3B params
+            return P()
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_lm_params(mesh: Mesh, params: Any) -> Any:
+    """Place LM params per t5_param_specs (no-op sharding on 1-dev mesh)."""
+    specs = t5_param_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )

@@ -1,0 +1,220 @@
+"""BaseExecutor: the run loop (replaces PyTorch-Lightning).
+
+Mirrors the reference's executor contract (reference: src/trainers/
+base_executor.py:34-84 + the PL Trainer wiring in src/main.py:85-197):
+subclasses implement ``training_step`` / ``_generative_step`` /
+``evaluate_outputs``; the base provides the epoch loop, periodic
+validation (``valid.step_size`` steps, capped at ``valid.break_interval``
+batches), checkpointing every ``train.save_interval`` epochs with
+best/last aliases, metric logging with automatic max/min
+(reference: base_executor.py:59-71), and a sanity-check validation pass
+before training (tolerated metric failures, reference:
+metrics_processors.py:435-444).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..utils.attr_dict import AttrDict
+from ..utils.loggers import MultiLogger
+from .checkpointing import get_checkpoint_model_path, save_checkpoint
+from .metrics_processors import MetricsProcessor
+
+logger = logging.getLogger(__name__)
+
+
+class BaseExecutor(MetricsProcessor):
+    def __init__(self, config: Any, data_loader: Any):
+        self.config = config
+        self.data_loader = data_loader
+        self.tokenizer = data_loader.tokenizer
+        self.decoder_tokenizer = data_loader.decoder_tokenizer
+        self.current_epoch = 0
+        self.global_step = 0
+        self.in_sanity_check = False
+        self.multi_logger: Optional[MultiLogger] = None
+
+    # ------------------------------------------------------------------
+    def setup(self, multi_logger: Optional[MultiLogger] = None) -> None:
+        self.multi_logger = multi_logger
+
+    def log_metrics(self, metrics: Dict[str, float],
+                    step: Optional[int] = None) -> None:
+        if self.multi_logger is not None:
+            self.multi_logger.log_metrics(metrics, step or self.global_step)
+
+    @property
+    def train_dataloader(self):
+        return self.data_loader.train_dataloader
+
+    @property
+    def test_dataloader(self):
+        return self.data_loader.test_dataloader
+
+    # -- subclass hooks --------------------------------------------------
+    def training_step(self, batch: AttrDict, batch_idx: int):
+        raise NotImplementedError
+
+    def _generative_step(self, batch: AttrDict, batch_idx: int) -> Dict:
+        raise NotImplementedError
+
+    def evaluate_outputs(self, step_outputs: List[Dict],
+                         mode: str = "test") -> AttrDict:
+        raise NotImplementedError
+
+    def on_train_start(self) -> None:
+        pass
+
+    def trainable_state(self) -> Dict[str, Any]:
+        """State persisted in checkpoints (mapper params + opt state)."""
+        raise NotImplementedError
+
+    def load_trainable_state(self, state: Dict[str, Any]) -> None:
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    def train(self) -> None:
+        cfg = self.config
+        max_epochs = int(cfg.train.get("epochs", 1))
+        step_size = int(cfg.valid.get("step_size", 0) or 0)
+        save_interval = int(cfg.train.get("save_interval", 1))
+        self.on_train_start()
+
+        # sanity-check validation (PL behavior: 2 batches, errors tolerated)
+        self.in_sanity_check = True
+        try:
+            self.validate(max_batches=2)
+        finally:
+            self.in_sanity_check = False
+
+        for epoch in range(self.current_epoch, max_epochs):
+            self.current_epoch = epoch
+            if hasattr(self.train_dataloader, "set_epoch"):
+                self.train_dataloader.set_epoch(epoch)
+            epoch_t0 = time.perf_counter()
+            losses: List[float] = []
+            for batch_idx, batch in enumerate(self.train_dataloader):
+                out = self.training_step(batch, batch_idx)
+                self.global_step += 1
+                if out is not None and "loss" in out:
+                    loss = float(out["loss"])
+                    losses.append(loss)
+                    if self.global_step % 50 == 0:
+                        self.log_metrics({"train/loss": loss})
+                if step_size and self.global_step % step_size == 0:
+                    self.validate(
+                        max_batches=int(
+                            cfg.valid.get("break_interval", 0) or 0
+                        ) or None
+                    )
+            epoch_time = time.perf_counter() - epoch_t0
+            if losses:
+                self.log_metrics(
+                    {
+                        "train/loss_epoch": float(np.mean(losses)),
+                        "train/epoch_time_s": epoch_time,
+                    }
+                )
+            logger.info(
+                "epoch %d done in %.1fs (mean loss %s)",
+                epoch, epoch_time,
+                f"{np.mean(losses):.4f}" if losses else "n/a",
+            )
+
+            val_metrics = self.validate()
+            if (epoch + 1) % save_interval == 0:
+                metric_name = cfg.train.additional.get(
+                    "save_top_k_metric", "valid/loss"
+                )
+                metric_mode = cfg.train.additional.get(
+                    "save_top_k_mode", "min"
+                )
+                save_checkpoint(
+                    cfg.saved_model_path, epoch, self.trainable_state(),
+                    metric_value=val_metrics.get(metric_name),
+                    metric_mode=metric_mode,
+                )
+            if self.multi_logger is not None:
+                self.multi_logger.log_auto_extrema(self.global_step)
+
+    # ------------------------------------------------------------------
+    def validate(self, max_batches: Optional[int] = None) -> Dict[str, float]:
+        outputs: List[Dict] = []
+        for batch_idx, batch in enumerate(self.test_dataloader):
+            if max_batches is not None and batch_idx >= max_batches:
+                break
+            outputs.append(self._generative_step(batch, batch_idx))
+        if not outputs:
+            return {}
+        log_dict = self.evaluate_outputs(outputs, mode="test")
+        return self.logging_results(log_dict, prefix="valid")
+
+    def test(self) -> Dict[str, float]:
+        outputs: List[Dict] = []
+        num_eval = int(self.config.test.get("num_evaluation", 0) or 0)
+        for batch_idx, batch in enumerate(self.test_dataloader):
+            if num_eval and batch_idx >= num_eval:
+                break
+            outputs.append(self._generative_step(batch, batch_idx))
+        log_dict = self.evaluate_outputs(outputs, mode="test")
+        return self.logging_results(
+            log_dict,
+            prefix=self.config.test.get("evaluation_name", "test_evaluation"),
+        )
+
+    # ------------------------------------------------------------------
+    def logging_results(self, log_dict: AttrDict,
+                        prefix: str = "test") -> Dict[str, float]:
+        """Prefix metrics, log scalars, emit prediction tables
+        (reference: few_shot_vqa_executor.py:370-413)."""
+        metrics_to_log: Dict[str, float] = {}
+        for metric, value in log_dict.metrics.items():
+            metrics_to_log[f"{prefix}/{metric}"] = value
+        metrics_to_log[f"{prefix}/epoch"] = self.current_epoch
+        logger.info("evaluation results [%s]: %s", prefix, metrics_to_log)
+        if self.in_sanity_check:
+            logger.warning("sanity check mode: results not logged")
+            return metrics_to_log
+        self.log_metrics(metrics_to_log)
+        table = log_dict.artifacts.get("test_table")
+        if (
+            table
+            and self.multi_logger is not None
+            and self.config.get("args", {}).get("log_prediction_tables")
+        ):
+            self.multi_logger.log_table(
+                f"predictions_epoch{self.current_epoch}"
+                f"_MODE({self.config.mode})",
+                table["columns"], table["rows"],
+            )
+        return metrics_to_log
+
+    # ------------------------------------------------------------------
+    def maybe_load_checkpoint(self) -> Optional[str]:
+        cfg_block = self.config.test if self.config.mode == "test" \
+            else self.config.train
+        path = get_checkpoint_model_path(
+            self.config.saved_model_path,
+            load_epoch=int(cfg_block.get("load_epoch", -1)),
+            load_best_model=bool(cfg_block.get("load_best_model", 0)),
+            load_model_path=cfg_block.get("load_model_path", ""),
+        )
+        if path is None:
+            if self.config.mode == "test":
+                raise FileNotFoundError(
+                    "test mode requires a checkpoint but none was found "
+                    f"under {self.config.saved_model_path}"
+                )
+            logger.info("no checkpoint found — first time to train")
+            return None
+        from .checkpointing import load_checkpoint
+
+        state = load_checkpoint(path, template=self.trainable_state())
+        self.load_trainable_state(state)
+        logger.info("loaded checkpoint %s", path)
+        return path

@@ -1,0 +1,227 @@
+"""Few-shot VQA evaluation executor (the flagship path).
+
+Mirrors reference: src/trainers/few_shot_vqa_executor.py:46-416 — greedy
+generation over spliced prompts, the three ensemble modes (one-at-a-time
+encoder, one-shot ensembling, prompt-permutation ensembling with
+sequence-log-prob scoring), prediction decoding, VQA metrics.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.decoding import sequence_scores
+from ..registry import EXECUTORS
+from ..utils.attr_dict import AttrDict
+from .base_executor import BaseExecutor
+from .model_factory import build_model_from_config
+
+logger = logging.getLogger(__name__)
+
+TABLE_COLUMNS = [
+    "question_id", "image_key", "question", "input", "answers",
+    "gold_answer", "prediction",
+]
+
+
+@EXECUTORS.register()
+class FewShotVQAExecutor(BaseExecutor):
+    """Eval-only executor: training_step is a no-op
+    (reference: few_shot_vqa_executor.py:139-140)."""
+
+    def __init__(self, config: Any, data_loader: Any):
+        super().__init__(config, data_loader)
+        self.model, self.model_kind = build_model_from_config(config)
+        # T5 has no BOS; the reference aliases it to pad
+        # (few_shot_vqa_executor.py:62)
+        if getattr(self.tokenizer, "bos_token", None) is None:
+            self.tokenizer.bos_token = self.tokenizer.pad_token
+
+    def training_step(self, batch: AttrDict, batch_idx: int):
+        return None
+
+    def trainable_state(self) -> Dict[str, Any]:
+        return {"mapper": self.model.params["mapper"]}
+
+    def load_trainable_state(self, state: Dict[str, Any]) -> None:
+        self.model.params["mapper"] = state["mapper"]
+
+    # ------------------------------------------------------------------
+    def _generative_step(self, batch: AttrDict, batch_idx: int) -> Dict:
+        additional = self.config.data_loader.additional
+        max_new = int(additional.max_target_length)
+        num_shots = int(additional.get("num_shots", 0))
+        one_at_a_time = bool(
+            additional.get("pass_examples_through_encoder_one_at_a_time", 0)
+        )
+        num_perms = int(
+            additional.get("num_permutations_of_in_context_examples", 0)
+        )
+        ensemble_one_shots = bool(additional.get("ensemble_one_shots", 0))
+        no_prefix = bool(additional.get("no_prefix", 0))
+
+        input_ids = jnp.asarray(batch.generative_input_ids)
+        attention_mask = jnp.asarray(batch.generative_attention_mask)
+        clip_embeddings = jnp.asarray(batch.clip_embeddings)
+
+        decoder_input_ids = None
+        if "decoder_generative_input_ids" in batch:
+            # drop the trailing token like the reference (:182)
+            decoder_input_ids = jnp.asarray(
+                batch.decoder_generative_input_ids
+            )[:, :-1]
+
+        if one_at_a_time:
+            # flat (B*(k+1), L) -> (B, k+1, L)
+            # (reference: few_shot_vqa_executor.py:186-188)
+            seg = num_shots + 1
+            input_ids = input_ids.reshape(-1, seg, input_ids.shape[-1])
+            attention_mask = attention_mask.reshape(
+                -1, seg, attention_mask.shape[-1]
+            )
+            tokens, logprobs = self.model.generate(
+                prefix=clip_embeddings,
+                question_tokens=input_ids,
+                question_mask=attention_mask,
+                no_prefix=no_prefix,
+                pass_examples_through_encoder_one_at_a_time=True,
+                max_new_tokens=max_new,
+            )
+        elif ensemble_one_shots:
+            input_ids = input_ids.reshape(
+                -1, num_shots, input_ids.shape[-1]
+            )
+            attention_mask = attention_mask.reshape(
+                -1, num_shots, attention_mask.shape[-1]
+            )
+            tokens = self.generate_from_ensembles(
+                input_ids, attention_mask, clip_embeddings,
+                num_ensembles=num_shots, num_shots=1, no_prefix=no_prefix,
+                max_new_tokens=max_new, mode="one_shot",
+            )
+        elif num_perms > 0:
+            input_ids = input_ids.reshape(-1, num_perms, input_ids.shape[-1])
+            attention_mask = attention_mask.reshape(
+                -1, num_perms, attention_mask.shape[-1]
+            )
+            tokens = self.generate_from_ensembles(
+                input_ids, attention_mask, clip_embeddings,
+                num_ensembles=num_perms, num_shots=None,
+                no_prefix=no_prefix, max_new_tokens=max_new,
+                mode="permutation",
+            )
+        else:
+            tokens, logprobs = self.model.generate(
+                prefix=clip_embeddings,
+                question_tokens=input_ids,
+                question_mask=attention_mask,
+                decoder_input_ids=decoder_input_ids,
+                no_prefix=no_prefix,
+                max_new_tokens=max_new,
+            )
+
+        tokens_np = np.asarray(tokens)
+        valid = np.asarray(
+            batch.get("sample_valid", np.ones(len(tokens_np), dtype=bool))
+        )
+
+        predictions, table_entries = [], []
+        lookup = self.data_loader.data.vqa_data.lookup
+        for index, question_id in enumerate(batch.question_ids):
+            if index >= len(tokens_np) or not valid[index]:
+                continue
+            decoded = self.decoder_tokenizer.decode(
+                tokens_np[index].tolist(), skip_special_tokens=True
+            )
+            predictions.append(
+                {"question_id": question_id, "answer": decoded}
+            )
+            item = lookup[str(question_id)]
+            if input_ids.ndim == 3:
+                prompt_ids = np.asarray(input_ids[index]).reshape(-1)
+            else:
+                prompt_ids = np.asarray(input_ids[index])
+            table_entries.append([
+                question_id, item["img_key"], item["question"],
+                self.tokenizer.decode(prompt_ids.tolist()),
+                item["answers"], item["gold_answer"], decoded,
+            ])
+        if batch_idx < 1 and predictions:
+            logger.info(
+                "sample prediction: %r <---> gold %r",
+                predictions[0]["answer"], batch.gold_answers[0],
+            )
+        return {
+            "predictions": predictions,
+            "question_ids": list(batch.question_ids),
+            "answers": list(batch.answers),
+            "table_entries": table_entries,
+        }
+
+    # ------------------------------------------------------------------
+    def generate_from_ensembles(
+        self,
+        input_ids: jnp.ndarray,        # (B, E, L)
+        attention_mask: jnp.ndarray,   # (B, E, L)
+        clip_embeddings: jnp.ndarray,
+        num_ensembles: int,
+        num_shots: Optional[int],
+        no_prefix: bool,
+        max_new_tokens: int,
+        mode: str,
+    ) -> jnp.ndarray:
+        """Generate per ensemble member, score each sequence by summed
+        token log-prob (skipping ids {0,1,2}), argmax-pick
+        (reference: few_shot_vqa_executor.py:293-332)."""
+        batch = input_ids.shape[0]
+        all_tokens, all_scores = [], []
+        for i in range(num_ensembles):
+            if mode == "one_shot":
+                # one in-context embedding + the test image
+                # (reference :298-299)
+                member_clip = jnp.stack(
+                    [clip_embeddings[:, i], clip_embeddings[:, -1]], axis=1
+                )
+            else:
+                # permutation i's full embedding set (reference :301-302)
+                member_clip = clip_embeddings[:, i]
+            tokens, logprobs = self.model.generate(
+                prefix=member_clip,
+                question_tokens=input_ids[:, i],
+                question_mask=attention_mask[:, i],
+                no_prefix=no_prefix,
+                num_shots=num_shots,
+                max_new_tokens=max_new_tokens,
+            )
+            all_tokens.append(np.asarray(tokens))
+            all_scores.append(np.asarray(sequence_scores(tokens, logprobs)))
+        scores = np.stack(all_scores, axis=1)         # (B, E)
+        best = np.argmax(scores, axis=1)
+        stacked = np.stack(all_tokens, axis=1)        # (B, E, T)
+        return stacked[np.arange(batch), best]
+
+    # ------------------------------------------------------------------
+    def evaluate_outputs(self, step_outputs: List[Dict],
+                         mode: str = "test") -> AttrDict:
+        """Aggregate predictions + prediction table, compute metrics
+        (reference: few_shot_vqa_executor.py:334-368)."""
+        predictions: List[Dict] = []
+        rows: List[List] = []
+        for i, out in enumerate(step_outputs):
+            predictions.extend(out["predictions"])
+            if i < 10:
+                rows.extend(out["table_entries"])
+        data = AttrDict(
+            mode=mode,
+            epoch=self.current_epoch,
+            batch_predictions=predictions,
+        )
+        log_dict = self.compute_metrics(data)
+        log_dict.artifacts["test_table"] = {
+            "columns": TABLE_COLUMNS, "rows": rows,
+        }
+        return log_dict

@@ -1,0 +1,329 @@
+"""End-to-end tests: the flagship few-shot VQA eval path and CC mapper
+training, on tiny synthetic fixtures with a small random T5."""
+
+import argparse
+import json
+import pickle
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from explicit_alignment_for_vqa_tasks_tpu.main import main as run_main  # noqa: E402
+from explicit_alignment_for_vqa_tasks_tpu.registry import (  # noqa: E402
+    DATA_LOADERS,
+    EXECUTORS,
+)
+from explicit_alignment_for_vqa_tasks_tpu.trainers.checkpointing import (  # noqa: E402
+    save_checkpoint,
+)
+from explicit_alignment_for_vqa_tasks_tpu.utils.attr_dict import AttrDict  # noqa: E402
+from explicit_alignment_for_vqa_tasks_tpu.utils.config_system import (  # noqa: E402
+    process_config,
+)
+
+PREFIX_SIZE = 16
+
+
+def write_vqa_fixtures(tmp_path, n_train_imgs=6, n_val_imgs=4):
+    """Synthetic VQA2 artifacts in the reference's file formats."""
+    rng = np.random.default_rng(0)
+    data_dir = tmp_path / "data"
+    data_dir.mkdir(exist_ok=True)
+
+    def make_split(name, n_imgs, qid_base):
+        questions, annotations = [], []
+        for i in range(n_imgs):
+            img_id = qid_base // 1000 + i
+            qid = qid_base + i
+            questions.append({
+                "question_id": qid, "image_id": img_id,
+                "question": f"what color is object {i} ?",
+            })
+            answer = ["red", "blue", "green"][i % 3]
+            annotations.append({
+                "question_id": qid, "image_id": img_id,
+                "question_type": "what color is",
+                "answer_type": "other",
+                "multiple_choice_answer": answer,
+                "answers": [
+                    {"answer": answer, "answer_confidence": "yes",
+                     "answer_id": k + 1} for k in range(10)
+                ],
+            })
+        q_file = data_dir / f"{name}_questions.json"
+        a_file = data_dir / f"{name}_annotations.json"
+        q_file.write_text(json.dumps({
+            "info": {}, "task_type": "Open-Ended", "data_type": "mscoco",
+            "data_subtype": name, "license": {}, "questions": questions,
+        }))
+        a_file.write_text(json.dumps({
+            "info": {}, "task_type": "Open-Ended", "data_type": "mscoco",
+            "data_subtype": name, "license": {}, "annotations": annotations,
+        }))
+        return q_file, a_file, questions, annotations
+
+    train_q, train_a, train_qs, _ = make_split("train2014", n_train_imgs,
+                                               1000000)
+    val_q, val_a, val_qs, _ = make_split("val2014", n_val_imgs, 2000000)
+
+    # CLIP embedding pickles keyed by str(img_key)
+    all_img_ids = (
+        [q["image_id"] for q in train_qs] + [q["image_id"] for q in val_qs]
+    )
+    embeddings = {
+        str(img_id): rng.standard_normal((1, PREFIX_SIZE)).astype(np.float32)
+        for img_id in all_img_ids
+    }
+    emb_file = data_dir / "clip_embeddings.pkl"
+    emb_file.write_bytes(pickle.dumps(embeddings))
+
+    # in-context examples: ascending similarity (best LAST)
+    rices = {}
+    for q in val_qs:
+        rices[str(q["question_id"])] = [
+            {
+                "question_id": tq["question_id"],
+                "img_key": tq["image_id"],
+                "question": tq["question"],
+                "gold_answer": ["red", "blue", "green"][i % 3],
+            }
+            for i, tq in enumerate(train_qs)
+        ]
+    rices_file = data_dir / "rices.pkl"
+    rices_file.write_bytes(pickle.dumps(rices))
+    return dict(
+        train_q=str(train_q), train_a=str(train_a),
+        val_q=str(val_q), val_a=str(val_a),
+        embeddings=str(emb_file), rices=str(rices_file),
+    )
+
+
+def make_test_config(tmp_path, fixtures, **extra_additional):
+    args = argparse.Namespace(
+        config="configs/vqa2/few_shot_vqa_hotpotqa.jsonnet",
+        mode="test", experiment_name="e2e_test", reset=False,
+        num_shots=2, no_prefix=0,
+        pass_examples_through_encoder_one_at_a_time=0,
+        num_permutations_of_in_context_examples=0,
+        sample_templates=0, ensemble_one_shots=0,
+        in_context_examples_fpath=fixtures["rices"],
+        modules=[], tags=[], test_batch_size=2, test_evaluation_name="",
+        opts=[],
+    )
+    import os
+
+    os.chdir(REPO_ROOT)
+    config = process_config(args)
+    config.EXPERIMENT_FOLDER = str(tmp_path / "experiments")
+    config.TENSORBOARD_FOLDER = str(tmp_path / "tb")
+    config.experiment_path = str(tmp_path / "experiments" / "e2e_test")
+    config.saved_model_path = str(
+        tmp_path / "experiments" / "e2e_test" / "train" / "saved_model"
+    )
+    config.results_path = str(
+        tmp_path / "experiments" / "e2e_test" / "test" / "test_evaluation"
+    )
+    config.cache.default_folder = str(tmp_path / "cache")
+    # tiny model + offline tokenizer
+    config.model_config.TokenizerClass = "SimpleTokenizer"
+    config.model_config.ConfigClass = "T5_test"
+    config.model_config.lm_config = {
+        "d_model": 32, "d_kv": 8, "num_heads": 4, "d_ff": 64,
+        "num_encoder_layers": 2, "num_decoder_layers": 2,
+        "relative_attention_num_buckets": 8,
+        "relative_attention_max_distance": 16,
+    }
+    config.model_config.pretrained = 0
+    config.model_config.model_args.prefix_size = PREFIX_SIZE
+    config.model_config.model_args.prefix_length = 2
+    config.tpu.compute_dtype = "float32"
+    config.tpu.params_dtype = "float32"
+    config.tpu.length_buckets = [64, 128, 256]
+    config.data_loader.additional.max_source_length = 256
+    config.data_loader.additional.max_target_length = 8
+    config.valid.batch_size = 2
+    # point data paths at fixtures
+    module_dict = config.data_loader.dataset_modules.module_dict
+    module_dict.LoadVQA2Data.config.vqa_data_path = AttrDict(
+        question_files={"train": fixtures["train_q"],
+                        "val": fixtures["val_q"]},
+        annotation_files={"train": fixtures["train_a"],
+                          "val": fixtures["val_a"]},
+    )
+    module_dict.LoadVQA2Data.config.image_data_path = AttrDict(
+        train=str(tmp_path), val=str(tmp_path)
+    )
+    module_dict.LoadClipEmbeddings.config = AttrDict(
+        train=fixtures["embeddings"], val=fixtures["embeddings"],
+    )
+    for key, value in extra_additional.items():
+        config.data_loader.additional[key] = value
+    return config
+
+
+import os  # noqa: E402
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_executor(config):
+    data_loader = DATA_LOADERS.get(config.data_loader.type)(config)
+    data_loader.build_dataset()
+    data_loader.set_dataloader()
+    executor = EXECUTORS.get(config.train.type)(config, data_loader)
+    return executor
+
+
+class TestFewShotVQAEndToEnd:
+    def test_flagship_eval_path(self, tmp_path):
+        fixtures = write_vqa_fixtures(tmp_path)
+        config = make_test_config(tmp_path, fixtures)
+        executor = build_executor(config)
+        # save + load a checkpoint like a real run
+        save_checkpoint(config.saved_model_path, 0,
+                        executor.trainable_state())
+        executor.maybe_load_checkpoint()
+        metrics = executor.test()
+        assert "test_evaluation/accuracy_overall" in metrics
+        assert 0.0 <= metrics["test_evaluation/accuracy_overall"] <= 100.0
+        # predictions written by write_predictions_to_file
+        answers_path = os.path.join(config.results_path, "answers.pkl")
+        assert os.path.exists(answers_path)
+        with open(answers_path, "rb") as fh:
+            predictions = pickle.load(fh)
+        assert len(predictions) == 4  # every val question exactly once
+
+    def test_zero_shot(self, tmp_path):
+        fixtures = write_vqa_fixtures(tmp_path)
+        config = make_test_config(tmp_path, fixtures)
+        config.data_loader.additional.num_shots = 0
+        executor = build_executor(config)
+        metrics = executor.test()
+        assert "test_evaluation/accuracy_overall" in metrics
+
+    def test_no_prefix(self, tmp_path):
+        fixtures = write_vqa_fixtures(tmp_path)
+        config = make_test_config(tmp_path, fixtures)
+        config.data_loader.additional.no_prefix = 1
+        # no-prefix templates drop the sentinel slot
+        config.model_config.input_modules.module_list[0].option = (
+            "hotpotqa_no_prefix"
+        )
+        executor = build_executor(config)
+        metrics = executor.test()
+        assert "test_evaluation/accuracy_overall" in metrics
+
+    def test_permutation_ensembling(self, tmp_path):
+        fixtures = write_vqa_fixtures(tmp_path)
+        config = make_test_config(
+            tmp_path, fixtures,
+            num_permutations_of_in_context_examples=2,
+        )
+        executor = build_executor(config)
+        metrics = executor.test()
+        assert "test_evaluation/accuracy_overall" in metrics
+
+    def test_one_at_a_time_encoder(self, tmp_path):
+        fixtures = write_vqa_fixtures(tmp_path)
+        config = make_test_config(
+            tmp_path, fixtures,
+            pass_examples_through_encoder_one_at_a_time=1,
+        )
+        executor = build_executor(config)
+        metrics = executor.test()
+        assert "test_evaluation/accuracy_overall" in metrics
+
+
+class TestConceptualCaptionsTraining:
+    def make_cc_config(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(1)
+        n = 12
+        table = pa.table({
+            "image_url": [[f"http://img/{i}"] for i in range(n)],
+            "caption": [[f"a photo of object {i} ."] for i in range(n)],
+            "clip_embeddings": [
+                rng.standard_normal(PREFIX_SIZE).astype(np.float32).tolist()
+                for _ in range(n)
+            ],
+        })
+        pq.write_table(table, tmp_path / "cc_train.parquet")
+        pq.write_table(table, tmp_path / "cc_val.parquet")
+
+        args = argparse.Namespace(
+            config="configs/conceptual_captions/conceptual_captions.jsonnet",
+            mode="train", experiment_name="cc_e2e", reset=False,
+            num_shots=-1, no_prefix=0,
+            pass_examples_through_encoder_one_at_a_time=0,
+            num_permutations_of_in_context_examples=0,
+            sample_templates=0, ensemble_one_shots=0,
+            in_context_examples_fpath="", modules=[], tags=[],
+            test_batch_size=-1, test_evaluation_name="", opts=[],
+        )
+        os.chdir(REPO_ROOT)
+        config = process_config(args)
+        config.EXPERIMENT_FOLDER = str(tmp_path / "experiments")
+        config.saved_model_path = str(
+            tmp_path / "experiments" / "cc_e2e" / "train" / "saved_model"
+        )
+        config.cache.default_folder = str(tmp_path / "cache")
+        config.model_config.TokenizerClass = "SimpleTokenizer"
+        config.model_config.ConfigClass = "T5_test"
+        config.model_config.lm_config = {
+            "d_model": 32, "d_kv": 8, "num_heads": 4, "d_ff": 64,
+            "num_encoder_layers": 2, "num_decoder_layers": 2,
+            "relative_attention_num_buckets": 8,
+            "relative_attention_max_distance": 16,
+        }
+        config.model_config.pretrained = 0
+        config.model_config.model_args.prefix_size = PREFIX_SIZE
+        config.model_config.model_args.prefix_length = 2
+        config.tpu.compute_dtype = "float32"
+        config.tpu.params_dtype = "float32"
+        config.train.epochs = 2
+        config.train.batch_size = 4
+        config.valid.batch_size = 4
+        config.valid.step_size = 0
+        config.train.additional.gradient_accumulation_steps = 1
+        cc = config.data_loader.dataset_modules.module_dict
+        cc.LoadConceptualCaptions.config = AttrDict(
+            train=str(tmp_path / "cc_train.parquet"),
+            val=str(tmp_path / "cc_val.parquet"),
+        )
+        return config
+
+    def test_mapper_training_reduces_loss(self, tmp_path):
+        config = self.make_cc_config(tmp_path)
+        executor = build_executor(config)
+        # capture initial loss, train, compare
+        first_batch = next(iter(executor.train_dataloader))
+        import jax.numpy as jnp
+
+        from explicit_alignment_for_vqa_tasks_tpu.models.vct0 import (
+            vct0_caption_loss,
+        )
+
+        loss_before = float(vct0_caption_loss(
+            executor.model.params["mapper"], executor.model.params["lm"],
+            executor.model.cfg,
+            jnp.asarray(first_batch.clip_embeddings),
+            jnp.asarray(first_batch.labels),
+        ))
+        executor.train()
+        loss_after = float(vct0_caption_loss(
+            executor.model.params["mapper"], executor.model.params["lm"],
+            executor.model.cfg,
+            jnp.asarray(first_batch.clip_embeddings),
+            jnp.asarray(first_batch.labels),
+        ))
+        assert np.isfinite(loss_after)
+        assert loss_after < loss_before
+        # checkpoints were written with last/best aliases
+        from explicit_alignment_for_vqa_tasks_tpu.trainers.checkpointing import (  # noqa: E501
+            get_checkpoint_model_path,
+        )
+        assert get_checkpoint_model_path(config.saved_model_path) is not None
