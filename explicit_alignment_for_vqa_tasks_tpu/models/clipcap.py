@@ -15,7 +15,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.decoding import greedy_decode_gpt2
+from ..ops import decoding as _decoding
 from ..registry import MODELS
 from . import gpt2 as gpt2_lib
 from .mappers import MapperConfig, init_mapper, mapper_apply
@@ -151,7 +151,7 @@ class ClipCaptionModel:
             self.cfg, self.params["lm"], self.params["mapper"],
             prefix, question_tokens, question_mask,
         )
-        return greedy_decode_gpt2(
+        return _decoding.greedy_decode_gpt2(
             self.params["lm"], self.cfg.lm, embeds, mask,
             max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
         )

@@ -28,11 +28,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.decoding import (
-    forced_decode_t5,
-    greedy_decode_t5,
-    sequence_scores,
-)
+from ..ops import decoding as _decoding
 from ..ops.prefix_splice import T5_SENTINEL_BASE, insert_prefix_into_input
 from ..registry import MODELS
 from . import t5 as t5_lib
@@ -150,7 +146,7 @@ def _generate_main(
     hidden = t5_lib.t5_encode(
         lm_params, cfg.lm, inputs_embeds=joint, attention_mask=joint_mask
     )
-    return greedy_decode_t5(lm_params, cfg.lm, hidden, joint_mask,
+    return _decoding.greedy_decode_t5(lm_params, cfg.lm, hidden, joint_mask,
                             max_new_tokens)
 
 
@@ -162,7 +158,7 @@ def _generate_no_prefix(
     hidden = t5_lib.t5_encode(
         lm_params, cfg.lm, input_ids=tokens, attention_mask=mask
     )
-    return greedy_decode_t5(lm_params, cfg.lm, hidden, mask, max_new_tokens)
+    return _decoding.greedy_decode_t5(lm_params, cfg.lm, hidden, mask, max_new_tokens)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
@@ -178,7 +174,7 @@ def _generate_prefix_only(
     hidden = t5_lib.t5_encode(
         lm_params, cfg.lm, inputs_embeds=prefix_embeds, attention_mask=mask
     )
-    return greedy_decode_t5(lm_params, cfg.lm, hidden, mask, max_new_tokens)
+    return _decoding.greedy_decode_t5(lm_params, cfg.lm, hidden, mask, max_new_tokens)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
@@ -196,7 +192,7 @@ def _generate_forced(
     hidden = t5_lib.t5_encode(
         lm_params, cfg.lm, inputs_embeds=joint, attention_mask=joint_mask
     )
-    return forced_decode_t5(
+    return _decoding.forced_decode_t5(
         lm_params, cfg.lm, hidden, joint_mask, decoder_input_ids,
         max_new_tokens,
     )
@@ -242,7 +238,7 @@ def _generate_one_at_a_time(
         hidden_list.append(hidden)
     encoder_hidden = jnp.concatenate(hidden_list, axis=1)
     encoder_mask = jnp.concatenate(mask_list, axis=1)
-    return greedy_decode_t5(
+    return _decoding.greedy_decode_t5(
         lm_params, cfg.lm, encoder_hidden, encoder_mask, max_new_tokens
     )
 
@@ -326,7 +322,7 @@ class VCT0Model:
 
     def score_sequences(self, tokens: jax.Array,
                         token_logprobs: jax.Array) -> jax.Array:
-        return sequence_scores(tokens, token_logprobs)
+        return _decoding.sequence_scores(tokens, token_logprobs)
 
 
 @MODELS.register("VCT0Model")

@@ -1,0 +1,143 @@
+"""kNN ops + RICES pipeline tests (exactness vs numpy brute force)."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+from explicit_alignment_for_vqa_tasks_tpu.in_context_example_selection.rices import (  # noqa: E402,E501
+    image_knn_from_text_knn,
+    joint_ranking,
+    question_knn,
+    random_examples,
+)
+from explicit_alignment_for_vqa_tasks_tpu.ops.knn import (  # noqa: E402
+    grouped_knn_search,
+    knn_search,
+)
+
+
+class TestKnnSearch:
+    def test_matches_numpy_bruteforce(self):
+        rng = np.random.default_rng(0)
+        db = rng.standard_normal((200, 32)).astype(np.float32)
+        q = rng.standard_normal((37, 32)).astype(np.float32)
+        sims, idx = knn_search(q, db, k=5, query_chunk=16)
+        dbn = db / np.linalg.norm(db, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        scores = qn @ dbn.T
+        want_idx = np.argsort(-scores, axis=1)[:, :5]
+        np.testing.assert_array_equal(idx, want_idx)
+        np.testing.assert_allclose(
+            sims, np.take_along_axis(scores, want_idx, axis=1), rtol=1e-5,
+            atol=1e-5,
+        )
+
+    def test_grouped_masked(self):
+        rng = np.random.default_rng(1)
+        q = rng.standard_normal((4, 8)).astype(np.float32)
+        c = rng.standard_normal((4, 10, 8)).astype(np.float32)
+        mask = np.ones((4, 10), dtype=bool)
+        mask[0, 5:] = False  # only 5 valid candidates in group 0
+        sims, idx = grouped_knn_search(q, c, mask, k=10)
+        assert np.all(idx[0][:5] < 5)
+        assert np.all(np.isneginf(sims[0][5:]))
+
+
+def make_items(n, qid_base, img_base):
+    return [
+        {
+            "question_id": qid_base + i, "img_key": img_base + i // 2,
+            "question": f"q{i}", "gold_answer": f"a{i}",
+        }
+        for i in range(n)
+    ]
+
+
+class TestRICES:
+    def test_pipeline_shapes_and_order(self):
+        rng = np.random.default_rng(2)
+        train_items = make_items(12, 1000, 100)
+        val_items = make_items(4, 2000, 500)
+        d = 16
+        train_text = {
+            str(item["question_id"]):
+                rng.standard_normal((1, d)).astype(np.float32)
+            for item in train_items
+        }
+        val_text = {
+            str(item["question_id"]):
+                rng.standard_normal((1, d)).astype(np.float32)
+            for item in val_items
+        }
+        train_img = {
+            str(item["img_key"]):
+                rng.standard_normal((1, d)).astype(np.float32)
+            for item in train_items
+        }
+        val_img = {
+            str(item["img_key"]):
+                rng.standard_normal((1, d)).astype(np.float32)
+            for item in val_items
+        }
+
+        q_nns = question_knn(train_text, val_text, k=8)
+        assert len(q_nns) == 4
+        first = next(iter(q_nns.values()))
+        assert len(first["question_ids"]) == 8
+        # similarities descending
+        assert np.all(np.diff(first["similarities"]) <= 1e-6)
+
+        i_nns = image_knn_from_text_knn(
+            q_nns, train_items, val_items, train_img, val_img
+        )
+        assert len(i_nns) == 4
+        entry = i_nns[val_items[0]["question_id"]]
+        assert len(entry["img_keys"]) == len(set(entry["img_keys"]))
+
+        rices = joint_ranking(i_nns, q_nns, train_items, val_items, top_k=5)
+        assert set(rices) == {str(i["question_id"]) for i in val_items}
+        examples = rices[str(val_items[0]["question_id"])]
+        assert len(examples) <= 5
+        assert {"question_id", "img_key", "question", "gold_answer"} <= set(
+            examples[0]
+        )
+
+    def test_joint_ordering_ascending_best_last(self):
+        # construct controlled similarities: qid 1001 should win
+        train_items = make_items(4, 1000, 100)
+        val_items = [{"question_id": 2000, "img_key": 500,
+                      "question": "q", "gold_answer": "a"}]
+        q_nns = {"2000": {
+            "question_ids": [1000, 1001, 1002, 1003],
+            "similarities": np.asarray([0.1, 0.9, 0.5, 0.2]),
+        }}
+        i_nns = {2000: {
+            "similarities": np.asarray([[0.5, 0.5, 0.5]]),
+            "img_keys": [100, 100, 101],  # img of 1000/1001 is 100
+        }}
+        rices = joint_ranking(i_nns, q_nns, train_items, val_items, top_k=3)
+        examples = rices["2000"]
+        # best (1001: 0.9 + 0.5) must be LAST
+        assert examples[-1]["question_id"] == 1001
+
+    def test_question_only_variant(self):
+        train_items = make_items(6, 1000, 100)
+        val_items = [{"question_id": 2000, "img_key": 500,
+                      "question": "q", "gold_answer": "a"}]
+        q_nns = {"2000": {
+            "question_ids": [1000 + i for i in range(6)],
+            "similarities": np.linspace(1.0, 0.0, 6),
+        }}
+        rices = joint_ranking({}, q_nns, train_items, val_items, top_k=4,
+                              question_only=True)
+        examples = rices["2000"]
+        assert examples[-1]["question_id"] == 1000  # highest similarity last
+
+    def test_random_baseline(self):
+        train_items = make_items(20, 1000, 100)
+        out = random_examples(train_items, [2000, 2001], num_examples=5,
+                              seed=7)
+        assert len(out) == 2 and len(out["2000"]) == 5
+        qids = [e["question_id"] for e in out["2000"]]
+        assert len(set(qids)) == 5  # without replacement
