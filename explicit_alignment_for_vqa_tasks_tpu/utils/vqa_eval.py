@@ -128,24 +128,37 @@ def _clean_ws(text: str) -> str:
 class VQAEval:
     """Computes official VQA accuracies from a VQA object + result object."""
 
-    def __init__(self, vqa, vqa_res, n: int = 2):
+    def __init__(self, vqa, vqa_res, n: int = 2, use_native: bool = True):
         self.n = n
         self.vqa = vqa
         self.vqa_res = vqa_res
+        self.use_native = use_native
         self.accuracy: Dict = {}
         self.evalQA: Dict[int, float] = {}
         self.evalQuesType: Dict[str, Dict[int, float]] = {}
         self.evalAnsType: Dict[str, Dict[int, float]] = {}
         self.params = {"question_id": vqa.get_ques_ids()}
 
-    def evaluate(self, ques_ids: Optional[Sequence[int]] = None) -> None:
-        if ques_ids is None:
-            ques_ids = list(self.params["question_id"])
+    def _per_question_accuracies(self, ques_ids: Sequence[int]) -> List[float]:
+        """Official per-question accuracy; native C++ hot loop when
+        available (explicit_alignment_for_vqa_tasks_tpu/native), Python
+        otherwise — both implement the identical protocol."""
+        if self.use_native:
+            try:
+                from ..native import native_available, vqa_accuracies_native
 
-        acc_qa: List[float] = []
-        acc_ques_type: Dict[str, List[float]] = {}
-        acc_ans_type: Dict[str, List[float]] = {}
-
+                if native_available():
+                    gt_answers = [
+                        [a["answer"] for a in self.vqa.qa[qid]["answers"]]
+                        for qid in ques_ids
+                    ]
+                    preds = [
+                        self.vqa_res.qa[qid]["answer"] for qid in ques_ids
+                    ]
+                    return vqa_accuracies_native(gt_answers, preds).tolist()
+            except Exception:  # pragma: no cover — fall back to Python
+                pass
+        out: List[float] = []
         for qid in ques_ids:
             gt = self.vqa.qa[qid]
             res_ans = _clean_ws(self.vqa_res.qa[qid]["answer"])
@@ -167,8 +180,20 @@ class VQAEval:
                     if j != i and other == res_ans
                 )
                 per_annotator.append(min(1.0, matches / 3.0))
-            avg_acc = sum(per_annotator) / len(per_annotator)
+            out.append(sum(per_annotator) / len(per_annotator))
+        return out
 
+    def evaluate(self, ques_ids: Optional[Sequence[int]] = None) -> None:
+        if ques_ids is None:
+            ques_ids = list(self.params["question_id"])
+
+        acc_qa: List[float] = []
+        acc_ques_type: Dict[str, List[float]] = {}
+        acc_ans_type: Dict[str, List[float]] = {}
+
+        accuracies = self._per_question_accuracies(ques_ids)
+        for qid, avg_acc in zip(ques_ids, accuracies):
+            gt = self.vqa.qa[qid]
             ques_type = gt["question_type"]
             ans_type = gt["answer_type"]
             acc_qa.append(avg_acc)
