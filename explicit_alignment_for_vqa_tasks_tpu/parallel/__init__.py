@@ -1,3 +1,4 @@
+from .gather import gather_predictions_to_host0, metric_psum
 from .mesh import (
     batch_sharding,
     make_mesh,
@@ -10,6 +11,8 @@ from .mesh import (
 
 __all__ = [
     "batch_sharding",
+    "gather_predictions_to_host0",
+    "metric_psum",
     "make_mesh",
     "replicate_params",
     "replicated",

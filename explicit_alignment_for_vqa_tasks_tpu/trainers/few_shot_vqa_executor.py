@@ -215,6 +215,11 @@ class FewShotVQAExecutor(BaseExecutor):
             predictions.extend(out["predictions"])
             if i < 10:
                 rows.extend(out["table_entries"])
+        # multi-host: VQAEval needs full question coverage on the scoring
+        # host (parallel/gather.py; no-op single-process)
+        from ..parallel.gather import gather_predictions_to_host0
+
+        predictions = gather_predictions_to_host0(predictions)
         data = AttrDict(
             mode=mode,
             epoch=self.current_epoch,

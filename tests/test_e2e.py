@@ -296,6 +296,62 @@ class TestConceptualCaptionsTraining:
         )
         return config
 
+    def test_cli_train_smoke(self, tmp_path, monkeypatch):
+        """Full CLI path: parse args -> init -> train one epoch."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from explicit_alignment_for_vqa_tasks_tpu.main import run
+
+        rng = np.random.default_rng(2)
+        n = 8
+        table = pa.table({
+            "image_url": [[f"http://img/{i}"] for i in range(n)],
+            "caption": [[f"object {i} ."] for i in range(n)],
+            "clip_embeddings": [
+                rng.standard_normal(PREFIX_SIZE).astype(np.float32).tolist()
+                for _ in range(n)
+            ],
+        })
+        pq.write_table(table, tmp_path / "cc.parquet")
+        monkeypatch.chdir(REPO_ROOT)
+        lm_cfg = ("{'d_model':32,'d_kv':8,'num_heads':4,'d_ff':64,"
+                  "'num_encoder_layers':2,'num_decoder_layers':2,"
+                  "'relative_attention_num_buckets':8,"
+                  "'relative_attention_max_distance':16}")
+        run([
+            "configs/conceptual_captions/conceptual_captions.jsonnet",
+            "--mode", "train",
+            "--experiment_name", "cli_smoke",
+            "--disable_wandb", "--disable_tensorboard",
+            "--opts",
+            f"EXPERIMENT_FOLDER={tmp_path}/experiments",
+            f"TENSORBOARD_FOLDER={tmp_path}/tb",
+            f"cache.default_folder={tmp_path}/cache",
+            "model_config.TokenizerClass=SimpleTokenizer",
+            "model_config.ConfigClass=T5_test",
+            f"model_config.lm_config={lm_cfg}",
+            "model_config.pretrained=0",
+            f"model_config.model_args.prefix_size={PREFIX_SIZE}",
+            "model_config.model_args.prefix_length=2",
+            "tpu.compute_dtype=float32",
+            "tpu.params_dtype=float32",
+            "train.epochs=1",
+            "train.batch_size=4",
+            "valid.batch_size=4",
+            "valid.step_size=0",
+            "train.additional.gradient_accumulation_steps=1",
+            "data_loader.dataset_modules.module_dict.LoadConceptualCaptions"
+            f".config.train={tmp_path}/cc.parquet",
+            "data_loader.dataset_modules.module_dict.LoadConceptualCaptions"
+            f".config.val={tmp_path}/cc.parquet",
+        ])
+        import os as _os
+
+        exp = f"{tmp_path}/experiments/cli_smoke"
+        assert _os.path.exists(f"{exp}/config.json")
+        assert _os.path.exists(f"{exp}/train/saved_model/model_00")
+
     def test_mapper_training_reduces_loss(self, tmp_path):
         config = self.make_cc_config(tmp_path)
         executor = build_executor(config)
