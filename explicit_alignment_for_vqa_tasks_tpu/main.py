@@ -91,6 +91,26 @@ def initialization(args: argparse.Namespace):
         logging.getLogger().addHandler(handler)
     logging.getLogger().setLevel(logging.DEBUG)
 
+    # unhandled-exception hook: log + close loggers cleanly
+    # (reference: src/main.py:288-301)
+    def excepthook(exc_type, exc_value, exc_tb):
+        if issubclass(exc_type, KeyboardInterrupt):
+            logger.warning("interrupted by user; shutting down loggers")
+        else:
+            logging.getLogger().critical(
+                "unhandled exception", exc_info=(exc_type, exc_value, exc_tb)
+            )
+        sys.__excepthook__(exc_type, exc_value, exc_tb)
+
+    sys.excepthook = excepthook
+
+    from .utils.device_stats import print_device_statistics
+
+    try:
+        print_device_statistics()
+    except Exception:
+        pass
+
     save_config(config, os.path.join(config.experiment_path, "config.json"))
     return config
 

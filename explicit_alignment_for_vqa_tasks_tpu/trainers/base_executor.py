@@ -92,6 +92,12 @@ class BaseExecutor(MetricsProcessor):
         finally:
             self.in_sanity_check = False
 
+        from ..utils.profiling import ThroughputMeter
+
+        meter = ThroughputMeter()
+        profile_dir = cfg.get("tpu", {}).get("profile_dir", "")
+        profiled = False
+
         for epoch in range(self.current_epoch, max_epochs):
             self.current_epoch = epoch
             if hasattr(self.train_dataloader, "set_epoch"):
@@ -99,8 +105,21 @@ class BaseExecutor(MetricsProcessor):
             epoch_t0 = time.perf_counter()
             losses: List[float] = []
             for batch_idx, batch in enumerate(self.train_dataloader):
+                if profile_dir and not profiled and self.global_step == 10:
+                    # capture a short device trace once training is warm
+                    import jax
+
+                    jax.profiler.start_trace(profile_dir)
+                meter.start()
                 out = self.training_step(batch, batch_idx)
+                meter.stop(items=int(cfg.train.batch_size))
                 self.global_step += 1
+                if profile_dir and not profiled and self.global_step == 13:
+                    import jax
+
+                    jax.profiler.stop_trace()
+                    profiled = True
+                    logger.info("profiler trace written to %s", profile_dir)
                 if out is not None and "loss" in out:
                     loss = float(out["loss"])
                     losses.append(loss)
@@ -114,10 +133,15 @@ class BaseExecutor(MetricsProcessor):
                     )
             epoch_time = time.perf_counter() - epoch_t0
             if losses:
+                summary = meter.summary()
                 self.log_metrics(
                     {
                         "train/loss_epoch": float(np.mean(losses)),
                         "train/epoch_time_s": epoch_time,
+                        "train/examples_per_s": summary.get(
+                            "items_per_s", 0.0
+                        ),
+                        "train/mean_step_s": summary.get("mean_step_s", 0.0),
                     }
                 )
             logger.info(
@@ -134,8 +158,10 @@ class BaseExecutor(MetricsProcessor):
                 metric_mode = cfg.train.additional.get(
                     "save_top_k_mode", "min"
                 )
+                state = dict(self.trainable_state())
+                state["epoch"] = np.asarray(epoch)
                 save_checkpoint(
-                    cfg.saved_model_path, epoch, self.trainable_state(),
+                    cfg.saved_model_path, epoch, state,
                     metric_value=val_metrics.get(metric_name),
                     metric_mode=metric_mode,
                 )
@@ -214,7 +240,12 @@ class BaseExecutor(MetricsProcessor):
             return None
         from .checkpointing import load_checkpoint
 
-        state = load_checkpoint(path, template=self.trainable_state())
+        state = dict(load_checkpoint(path))
+        epoch = state.pop("epoch", None)
         self.load_trainable_state(state)
+        if self.config.mode == "train" and epoch is not None:
+            # resume from the epoch after the checkpointed one
+            self.current_epoch = int(np.asarray(epoch)) + 1
+            logger.info("resuming from epoch %d", self.current_epoch)
         logger.info("loaded checkpoint %s", path)
         return path

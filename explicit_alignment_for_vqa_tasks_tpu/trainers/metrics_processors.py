@@ -151,6 +151,99 @@ class MetricsProcessor:
         )
         return log_dict
 
+    def compute_retrieval_metrics(self, module, data_dict, log_dict) -> AttrDict:
+        """Retrieval quality metrics for retrieval-augmented variants
+        (reference: metrics_processors.py:137-301): recall/precision of
+        answers appearing in retrieved docs, plus retriever-hit breakdowns
+        over loss-ranked per-doc generations."""
+        batch_answers = data_dict["batch_answers"]
+        batch_docs = data_dict["batch_retrieved_docs"]
+        batch_proposals = data_dict["batch_generation_outputs_for_docs"]
+        batch_losses = data_dict["batch_loss_with_doc_scores"]
+
+        result = {"recall": [], "precision": [], "gold_precision": [],
+                  "gold_recall": []}
+        for answer_list, docs in zip(batch_answers, batch_docs):
+            filtered = [a for a in answer_list if a != ""]
+            gold = max(set(filtered), key=filtered.count)
+            unique_answers = list(set(answer_list))
+            doc_texts = [doc["content"] for doc in docs]
+            if "add_null_document" in self.config.model_config.get(
+                "modules", []
+            ):
+                doc_texts = doc_texts[1:]
+            found, found_gold = 0, 0
+            for passage in doc_texts:
+                lower = passage.lower()
+                if any(a.lower() in lower for a in unique_answers):
+                    found += 1
+                if gold.lower() in lower:
+                    found_gold += 1
+            k = max(len(doc_texts), 1)
+            result["recall"].append(1 if found else 0)
+            result["precision"].append(found / k)
+            result["gold_recall"].append(1 if found_gold else 0)
+            result["gold_precision"].append(found_gold / k)
+
+        cleaner = TextCleaner()
+        hits = {name: [] for name in (
+            "successful_hit", "successful_no_hit", "failed_hit",
+            "failed_no_hit", "selected_successful_hit",
+            "selected_successful_no_hit", "selected_failed_hit",
+            "selected_failed_no_hit",
+        )}
+        for answer_list, docs, proposals, losses in zip(
+            batch_answers, batch_docs, batch_proposals, batch_losses
+        ):
+            doc_texts = [doc["content"] for doc in docs]
+            order = np.argsort(losses)
+            answer_list = cleaner.clean_texts(list(answer_list))
+            proposals = cleaner.clean_texts(list(proposals))
+            picked = int(order[0])
+            for index, doc_text in enumerate(doc_texts):
+                proposal = proposals[index]
+                exact = proposal in answer_list
+                contained = proposal in doc_text
+                hits["successful_hit"].append(int(exact and contained))
+                hits["successful_no_hit"].append(int(exact and not contained))
+                hits["failed_hit"].append(int(not exact and contained))
+                hits["failed_no_hit"].append(
+                    int(not exact and not contained)
+                )
+                if index == picked:
+                    hits["selected_successful_hit"].append(
+                        int(exact and contained)
+                    )
+                    hits["selected_successful_no_hit"].append(
+                        int(exact and not contained)
+                    )
+                    hits["selected_failed_hit"].append(
+                        int(not exact and contained)
+                    )
+                    hits["selected_failed_no_hit"].append(
+                        int(not exact and not contained)
+                    )
+        for name, values in {**result, **hits}.items():
+            log_dict.metrics[name] = float(np.mean(values)) if values else 0.0
+        return log_dict
+
+    def compute_DPR_scores(self, module, data_dict, log_dict) -> AttrDict:
+        """Average precision/recall-at-K over per-question DPR results
+        (reference: metrics_processors.py:467-495)."""
+        batch_result = data_dict["batch_result"]
+        ks = data_dict["Ks"]
+        count = max(len(batch_result), 1)
+        totals = {name: np.zeros(len(ks)) for name in (
+            "precision", "recall", "gold_precision", "gold_recall",
+        )}
+        for entry in batch_result:
+            for name in totals:
+                totals[name] += np.asarray(entry[name]) / count
+        for name, arr in totals.items():
+            for index, k in enumerate(ks):
+                log_dict.metrics[f"{name}_at_{k}"] = float(arr[index])
+        return log_dict
+
     def write_predictions_to_file(self, module, data_dict, log_dict) -> AttrDict:
         """Dump predictions to answers.pkl in the results dir
         (reference: metrics_processors.py:446-464 wrote to cwd)."""
