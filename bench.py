@@ -38,7 +38,9 @@ def bench_vision(cfg_name: str, batch_size: int, k_batches: int = 4,
         init_clip_vision_params,
     )
 
-    cfg = getattr(CLIPVisionConfig, cfg_name)(dtype=jnp.bfloat16)
+    cfg = getattr(CLIPVisionConfig, cfg_name)(
+        dtype=jnp.bfloat16, fast_attention=True
+    )
     params = init_clip_vision_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
 
     @jax.jit

@@ -38,6 +38,11 @@ class CLIPVisionConfig:
     projection_dim: int = 768
     layer_norm_epsilon: float = 1e-5
     dtype: Any = jnp.bfloat16
+    # fp32 attention logits by default (HF parity); bf16 buys ~11% extra
+    # throughput at 224px/50-token shapes where score-tensor HBM traffic
+    # and tiny-matmul overhead dominate — appropriate for bulk feature
+    # extraction (fp16-class inference is standard for CLIP).
+    fast_attention: bool = False
 
     @property
     def grid(self) -> int:
@@ -99,7 +104,8 @@ def _layer_norm(x, scale, bias, eps):
             + bias.astype(jnp.float32)).astype(dtype)
 
 
-def _encoder_block(layer_p, x, bias, num_heads, eps, use_pallas=False):
+def _encoder_block(layer_p, x, bias, num_heads, eps, use_pallas=False,
+                   fast_attention=False):
     dt = x.dtype
     head_dim = x.shape[-1] // num_heads
 
@@ -122,6 +128,16 @@ def _encoder_block(layer_p, x, bias, num_heads, eps, use_pallas=False):
         from ..ops.attention import flash_attention
 
         attn = flash_attention(q * (head_dim ** -0.5), k, v, bias=bias)
+    elif fast_attention and bias is None:
+        # bf16 scores, max-subtracted exp in fp32, bf16 PV — avoids fp32
+        # score-tensor HBM traffic (see config note)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q * (head_dim ** -0.5), k,
+                       preferred_element_type=jnp.bfloat16)
+        m = jnp.max(s, -1, keepdims=True)
+        p = jnp.exp((s - m).astype(jnp.float32)).astype(dt)
+        weights = p / jnp.sum(p, -1, keepdims=True)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", weights, v,
+                          preferred_element_type=jnp.bfloat16).astype(dt)
     else:
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
@@ -224,7 +240,7 @@ def clip_encode_image(
     def layer(carry, layer_p):
         return _encoder_block(
             layer_p, carry, None, cfg.num_heads, cfg.layer_norm_epsilon,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, fast_attention=cfg.fast_attention,
         ), None
 
     x, _ = jax.lax.scan(layer, x, params["blocks"])
