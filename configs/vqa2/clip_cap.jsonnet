@@ -25,16 +25,24 @@ local override = {
     },
     "input_modules": {
       "module_list": [
-        {"type": "QuestionInput", "option": "default",
-         "separation_tokens": {"start": "", "end": ""}},
+        {"type": "QAInput", "option": "default",
+         "separation_tokens": {"start": "question:", "end": "answer:"}},
         {"type": "EmbeddingInput", "option": "default"},
       ],
       "postprocess_module_list": [
-        {"type": "PostProcessClipEmbeddings", "option": "default"},
         {"type": "PostProcessInputTokenization", "option": "default"},
+        {"type": "PostProcessClipEmbeddings", "option": "default"},
       ],
     },
-    "decoder_input_modules": {"module_list": [], "postprocess_module_list": []},
+    "decoder_input_modules": {
+      "module_list": [
+        {"type": "QuestionInput", "option": "default",
+         "separation_tokens": {"start": "question:", "end": "answer:"}},
+      ],
+      "postprocess_module_list": [
+        {"type": "PostProcessInputTokenization", "option": "generation"},
+      ],
+    },
     "output_modules": {
       "module_list": [
         {"type": "GenerationOutput", "option": "default"},

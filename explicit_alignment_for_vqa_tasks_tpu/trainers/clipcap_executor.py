@@ -36,6 +36,7 @@ class ClipCapExecutor(BaseExecutor):
             self.tokenizer.pad_token = self.tokenizer.eos_token
             self.tokenizer.pad_token_id = self.tokenizer.eos_token_id
         self.model, _ = build_model_from_config(config)
+        self._maybe_resize_embeddings()
         steps_per_epoch = max(len(data_loader.train_dataloader or []), 1) \
             if data_loader.train_dataloader is not None else 1000
         total_steps = steps_per_epoch * min(
@@ -44,6 +45,36 @@ class ClipCapExecutor(BaseExecutor):
         self.tx, self.schedule = make_optimizer(config, total_steps)
         self.opt_state = self.tx.init(self.model.params["mapper"])
         self._train_step = self._build_train_step()
+
+    def _maybe_resize_embeddings(self) -> None:
+        """Grow the (tied) token embedding table when special tokens were
+        added to the tokenizer (reference: clipcap_exector.py:55-56
+        resize_token_embeddings)."""
+        import dataclasses
+
+        try:
+            needed = len(self.tokenizer)
+        except TypeError:
+            return
+        cfg = self.model.cfg
+        if needed <= cfg.lm.vocab_size:
+            return
+        import numpy as np
+
+        wte = np.asarray(self.model.params["lm"]["wte"], dtype=np.float32)
+        extra = np.random.default_rng(0).normal(
+            0, 0.02, size=(needed - wte.shape[0], wte.shape[1])
+        ).astype(np.float32)
+        new_wte = jnp.asarray(
+            np.concatenate([wte, extra]), dtype=jnp.asarray(wte).dtype
+        )
+        self.model.params["lm"]["wte"] = new_wte.astype(
+            self.model.params["lm"]["wpe"].dtype
+        )
+        self.model.cfg = dataclasses.replace(
+            cfg, lm=dataclasses.replace(cfg.lm, vocab_size=needed)
+        )
+        logger.info("resized token embeddings to %d", needed)
 
     def _build_train_step(self):
         cfg = self.model.cfg

@@ -236,6 +236,75 @@ class TestFewShotVQAEndToEnd:
         assert "test_evaluation/accuracy_overall" in metrics
 
 
+class TestClipCapEndToEnd:
+    def test_clipcap_train_and_eval(self, tmp_path):
+        """ClipCap path: GPT-2 + mapper on VQA2 (QAInput training prompt,
+        QInput generation prompt, answer-segment label masking)."""
+        fixtures = write_vqa_fixtures(tmp_path)
+        args = argparse.Namespace(
+            config="configs/vqa2/clip_cap.jsonnet",
+            mode="train", experiment_name="clipcap_e2e", reset=False,
+            num_shots=0, no_prefix=0,
+            pass_examples_through_encoder_one_at_a_time=0,
+            num_permutations_of_in_context_examples=0,
+            sample_templates=0, ensemble_one_shots=0,
+            in_context_examples_fpath="", modules=[], tags=[],
+            test_batch_size=-1, test_evaluation_name="", opts=[],
+        )
+        import os
+
+        os.chdir(REPO_ROOT)
+        config = process_config(args)
+        config.EXPERIMENT_FOLDER = str(tmp_path / "experiments")
+        config.saved_model_path = str(
+            tmp_path / "experiments" / "clipcap_e2e" / "train" /
+            "saved_model"
+        )
+        config.results_path = str(tmp_path / "results")
+        config.cache.default_folder = str(tmp_path / "cache")
+        config.model_config.TokenizerClass = "SimpleTokenizer"
+        config.model_config.ConfigClass = "GPT2_test"
+        # vocab must cover SimpleTokenizer's T5-style sentinel ids (QInput
+        # emits <extra_id_0> into the GPT-2 prompt, as in the reference)
+        config.model_config.lm_config = {
+            "vocab_size": 33000, "n_positions": 128, "d_model": 32,
+            "num_layers": 2, "num_heads": 4,
+        }
+        config.model_config.pretrained = 0
+        config.model_config.model_args.prefix_size = PREFIX_SIZE
+        config.model_config.model_args.prefix_length = 2
+        config.tpu.compute_dtype = "float32"
+        config.tpu.params_dtype = "float32"
+        config.tpu.length_buckets = [32, 64]
+        config.data_loader.additional.max_source_length = 64
+        config.data_loader.additional.max_decoder_source_length = 64
+        config.data_loader.additional.max_target_length = 8
+        config.train.epochs = 1
+        config.train.batch_size = 2
+        config.valid.batch_size = 2
+        config.valid.step_size = 0
+        config.train.additional.gradient_accumulation_steps = 1
+        module_dict = config.data_loader.dataset_modules.module_dict
+        module_dict.LoadVQA2Data.config.vqa_data_path = AttrDict(
+            question_files={"train": fixtures["train_q"],
+                            "val": fixtures["val_q"]},
+            annotation_files={"train": fixtures["train_a"],
+                              "val": fixtures["val_a"]},
+        )
+        module_dict.LoadVQA2Data.config.image_data_path = AttrDict(
+            train=str(tmp_path), val=str(tmp_path)
+        )
+        module_dict.LoadClipEmbeddings.config = AttrDict(
+            train=fixtures["embeddings"], val=fixtures["embeddings"],
+        )
+        executor = build_executor(config)
+        executor.train()
+        # eval path produces full-coverage predictions
+        config.mode = "test"
+        metrics = executor.test()
+        assert "test_evaluation/accuracy_overall" in metrics
+
+
 class TestConceptualCaptionsTraining:
     def make_cc_config(self, tmp_path):
         import pyarrow as pa
