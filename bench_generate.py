@@ -1,0 +1,99 @@
+"""Secondary benchmark: flagship few-shot VQA generation throughput.
+
+Measures the production eval surface — prefix splice + T0-3B-architecture
+encoder pass + 20-step greedy decode with KV cache — in prompts/sec/chip.
+Not part of the driver's bench.py contract (kept separate to keep bench.py
+fast); run manually:  python bench_generate.py [--batch 16] [--seq 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--seq", type=int, default=512)
+    parser.add_argument("--shots", type=int, default=4)
+    parser.add_argument("--decode_steps", type=int, default=20)
+    parser.add_argument("--trials", type=int, default=3)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from explicit_alignment_for_vqa_tasks_tpu.models.mappers import (
+        MapperConfig,
+    )
+    from explicit_alignment_for_vqa_tasks_tpu.models.t5 import T5Config
+    from explicit_alignment_for_vqa_tasks_tpu.models.vct0 import (
+        VCT0Config,
+        VCT0Model,
+        init_vct0_params,
+    )
+    from explicit_alignment_for_vqa_tasks_tpu.ops.prefix_splice import (
+        T5_SENTINEL_BASE,
+    )
+
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    lm_cfg = T5Config.t0_3b(dtype=jnp.bfloat16)
+    cfg = VCT0Config(
+        lm=lm_cfg,
+        mapper=MapperConfig(prefix_size=768, d_model=lm_cfg.d_model,
+                            prefix_length=10, clip_length=10),
+    )
+    params = init_vct0_params(jax.random.PRNGKey(0), cfg,
+                              param_dtype=jnp.bfloat16)
+    model = VCT0Model(cfg, params)
+
+    B, L, P = args.batch, args.seq, args.shots + 1
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(10, 30000, size=(B, L)).astype(np.int32)
+    # one sentinel per prefix at spaced positions
+    for i in range(P):
+        tokens[:, i * (L // P)] = T5_SENTINEL_BASE - i
+    mask = np.ones((B, L), dtype=np.int32)
+    prefix = rng.standard_normal((B, P, 768)).astype(np.float32)
+
+    tok_j, mask_j = jnp.asarray(tokens), jnp.asarray(mask)
+    prefix_j = jnp.asarray(prefix)
+
+    def step():
+        out_tokens, logprobs = model.generate(
+            prefix=prefix_j, question_tokens=tok_j, question_mask=mask_j,
+            max_new_tokens=args.decode_steps,
+        )
+        # fetch forces execution (block_until_ready is unreliable through
+        # the axon tunnel)
+        return float(jnp.sum(logprobs))
+
+    t0 = time.perf_counter()
+    step()
+    print(f"compile+first: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    best = 0.0
+    for _ in range(args.trials):
+        t0 = time.perf_counter()
+        step()
+        dt = time.perf_counter() - t0
+        best = max(best, B / dt)
+        print(f"step: {dt:.3f}s -> {B / dt:.2f} prompts/s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "vct0_3b_fewshot_generate_prompts_per_sec_per_chip",
+        "value": round(best, 2),
+        "unit": "prompts/s",
+        "config": {
+            "batch": B, "prompt_tokens": L, "shots": args.shots,
+            "decode_steps": args.decode_steps,
+            "spliced_length": L + 9 * P,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""BatchIterator + loggers + misc utils unit tests."""
+
+import numpy as np
+import pytest
+
+from explicit_alignment_for_vqa_tasks_tpu.data.loader import (
+    BatchIterator,
+    ListDataset,
+)
+from explicit_alignment_for_vqa_tasks_tpu.utils.attr_dict import AttrDict
+from explicit_alignment_for_vqa_tasks_tpu.utils.metrics_history import (
+    MetricsHistory,
+)
+
+
+def collate(samples):
+    return AttrDict(rows=[s for s in samples])
+
+
+class TestBatchIterator:
+    def test_batching_and_valid_mask(self):
+        ds = ListDataset(list(range(10)))
+        it = BatchIterator(ds, batch_size=4, collate_fn=collate,
+                           prefetch=0)
+        batches = list(it)
+        assert len(batches) == 3
+        # final batch padded by repeating the last sample
+        assert batches[2].rows == [8, 9, 9, 9]
+        assert batches[2].sample_valid.tolist() == [True, True, False, False]
+        assert batches[0].sample_valid.all()
+
+    def test_drop_last(self):
+        ds = ListDataset(list(range(10)))
+        it = BatchIterator(ds, batch_size=4, collate_fn=collate,
+                           drop_last=True, prefetch=0)
+        assert len(list(it)) == 2
+
+    def test_shuffle_deterministic_per_epoch(self):
+        ds = ListDataset(list(range(32)))
+        it = BatchIterator(ds, batch_size=8, collate_fn=collate,
+                           shuffle=True, seed=3, prefetch=0)
+        first = [b.rows for b in it]
+        again = [b.rows for b in it]
+        assert first == again  # same epoch -> same order
+        it.set_epoch(1)
+        other = [b.rows for b in it]
+        assert first != other  # new epoch -> reshuffled
+        assert sorted(sum(other, [])) == list(range(32))
+
+    def test_prefetch_matches_sync(self):
+        ds = ListDataset(list(range(23)))
+        sync = [b.rows for b in BatchIterator(
+            ds, batch_size=5, collate_fn=collate, prefetch=0)]
+        pre = [b.rows for b in BatchIterator(
+            ds, batch_size=5, collate_fn=collate, prefetch=2)]
+        assert sync == pre
+
+    def test_prefetch_propagates_errors(self):
+        ds = ListDataset(list(range(8)))
+
+        def bad_collate(samples):
+            raise RuntimeError("boom")
+
+        it = BatchIterator(ds, batch_size=4, collate_fn=bad_collate,
+                           prefetch=2)
+        with pytest.raises(RuntimeError, match="boom"):
+            list(it)
+
+
+class TestMetricsHistory:
+    def test_auto_extrema(self):
+        h = MetricsHistory()
+        for step, v in enumerate([1.0, 3.0, 2.0]):
+            h.log("valid/acc", v, step)
+        ex = h.auto_extrema()
+        assert ex["valid/acc_auto_max"] == 3.0
+        assert ex["valid/acc_auto_min"] == 1.0
+
+    def test_epoch_step_excluded(self):
+        h = MetricsHistory()
+        h.log("epoch", 5, 0)
+        assert not h.auto_extrema()
+
+    def test_state_roundtrip(self):
+        h = MetricsHistory()
+        h.log("loss", 0.5, 1)
+        h2 = MetricsHistory()
+        h2.load_state_dict(h.state_dict())
+        assert h2.values("loss") == [0.5]
+
+
+class TestOptimization:
+    def test_schedules(self):
+        from explicit_alignment_for_vqa_tasks_tpu.trainers.optimization import (
+            make_schedule,
+        )
+
+        def cfg(scheduler, warmup=10):
+            return AttrDict(train={
+                "lr": 1e-3, "scheduler": scheduler,
+                "additional": {"warmup_steps": warmup},
+            })
+
+        linear = make_schedule(cfg("linear"), total_steps=100)
+        assert float(linear(0)) < 1e-4
+        assert abs(float(linear(10)) - 1e-3) < 1e-9
+        assert float(linear(100)) < 1e-5
+
+        cosine = make_schedule(cfg("cosine"), total_steps=100)
+        assert abs(float(cosine(10)) - 1e-3) < 1e-6
+        assert float(cosine(100)) <= 2e-5
+
+        const = make_schedule(cfg("none"), total_steps=100)
+        assert abs(float(const(50)) - 1e-3) < 1e-9
+
+    def test_gradient_accumulation(self):
+        import jax.numpy as jnp
+
+        from explicit_alignment_for_vqa_tasks_tpu.trainers.optimization import (
+            make_optimizer,
+        )
+
+        config = AttrDict(train={
+            "lr": 0.1, "scheduler": "none", "adam_epsilon": 1e-8,
+            "additional": {"warmup_steps": 0,
+                           "gradient_accumulation_steps": 2,
+                           "gradient_clipping": 1.0},
+        })
+        tx, _ = make_optimizer(config, total_steps=10)
+        params = {"w": jnp.ones(3)}
+        state = tx.init(params)
+        grads = {"w": jnp.ones(3)}
+        # first micro-step: no update applied yet
+        updates, state = tx.update(grads, state, params)
+        assert float(jnp.abs(updates["w"]).sum()) == 0.0
+        updates, state = tx.update(grads, state, params)
+        assert float(jnp.abs(updates["w"]).sum()) > 0.0
