@@ -38,6 +38,52 @@ class BaseExecutor(MetricsProcessor):
         self.global_step = 0
         self.in_sanity_check = False
         self.multi_logger: Optional[MultiLogger] = None
+        self.mesh = None  # set by _setup_mesh when >1 device is available
+
+    def _setup_mesh(self, model: Any) -> None:
+        """Place params on the device mesh when multiple devices exist:
+        frozen LM sharded over `model` (megatron-style tp specs), mapper
+        replicated, batches later sharded over `data`
+        (parallel/mesh.py). No-op on a single device."""
+        import jax
+
+        if jax.device_count() <= 1 or not self.config.get("tpu", {}).get(
+            "use_mesh", True
+        ):
+            return
+        from ..parallel.mesh import (
+            make_mesh,
+            replicate_params,
+            shard_lm_params,
+        )
+
+        try:
+            self.mesh = make_mesh(self.config)
+        except ValueError as exc:
+            logger.warning("mesh disabled: %s", exc)
+            return
+        if "lm" in model.params and "shared" in model.params["lm"]:
+            model.params["lm"] = shard_lm_params(self.mesh,
+                                                 model.params["lm"])
+        else:
+            model.params["lm"] = replicate_params(self.mesh,
+                                                  model.params["lm"])
+        model.params["mapper"] = replicate_params(self.mesh,
+                                                  model.params["mapper"])
+        logger.info("mesh active: %s", dict(self.mesh.shape))
+
+    def _shard(self, array) -> Any:
+        """Shard a batch array's leading axis over the mesh `data` axis
+        (pass-through when no mesh)."""
+        if self.mesh is None:
+            return array
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data_size = self.mesh.shape["data"]
+        if array.shape[0] % data_size != 0:
+            return array  # non-divisible batch: replicate
+        return jax.device_put(array, NamedSharding(self.mesh, P("data")))
 
     # ------------------------------------------------------------------
     def setup(self, multi_logger: Optional[MultiLogger] = None) -> None:

@@ -37,6 +37,7 @@ class ClipCapExecutor(BaseExecutor):
             self.tokenizer.pad_token_id = self.tokenizer.eos_token_id
         self.model, _ = build_model_from_config(config)
         self._maybe_resize_embeddings()
+        self._setup_mesh(self.model)
         steps_per_epoch = max(len(data_loader.train_dataloader or []), 1) \
             if data_loader.train_dataloader is not None else 1000
         total_steps = steps_per_epoch * min(

@@ -36,6 +36,7 @@ class FewShotVQAExecutor(BaseExecutor):
     def __init__(self, config: Any, data_loader: Any):
         super().__init__(config, data_loader)
         self.model, self.model_kind = build_model_from_config(config)
+        self._setup_mesh(self.model)
         # T5 has no BOS; the reference aliases it to pad
         # (few_shot_vqa_executor.py:62)
         if getattr(self.tokenizer, "bos_token", None) is None:
@@ -64,9 +65,11 @@ class FewShotVQAExecutor(BaseExecutor):
         ensemble_one_shots = bool(additional.get("ensemble_one_shots", 0))
         no_prefix = bool(additional.get("no_prefix", 0))
 
-        input_ids = jnp.asarray(batch.generative_input_ids)
-        attention_mask = jnp.asarray(batch.generative_attention_mask)
-        clip_embeddings = jnp.asarray(batch.clip_embeddings)
+        input_ids = self._shard(jnp.asarray(batch.generative_input_ids))
+        attention_mask = self._shard(
+            jnp.asarray(batch.generative_attention_mask)
+        )
+        clip_embeddings = self._shard(jnp.asarray(batch.clip_embeddings))
 
         decoder_input_ids = None
         if "decoder_generative_input_ids" in batch:

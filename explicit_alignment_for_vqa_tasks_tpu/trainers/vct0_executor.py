@@ -36,6 +36,7 @@ class VCT0Executor(BaseExecutor):
     def __init__(self, config: Any, data_loader: Any):
         super().__init__(config, data_loader)
         self.model, _ = build_model_from_config(config)
+        self._setup_mesh(self.model)
         steps_per_epoch = max(len(data_loader.train_dataloader or []), 1) \
             if data_loader.train_dataloader is not None else 1000
         total_steps = steps_per_epoch * min(
@@ -75,8 +76,8 @@ class VCT0Executor(BaseExecutor):
 
     # ------------------------------------------------------------------
     def training_step(self, batch: AttrDict, batch_idx: int) -> Dict:
-        clip = jnp.asarray(batch.clip_embeddings)
-        labels = jnp.asarray(batch.labels)
+        clip = self._shard(jnp.asarray(batch.clip_embeddings))
+        labels = self._shard(jnp.asarray(batch.labels))
         mapper, self.opt_state, loss = self._train_step(
             self.model.params["mapper"], self.opt_state,
             self.model.params["lm"], clip, labels,

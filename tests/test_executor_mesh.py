@@ -1,0 +1,92 @@
+"""Executor-level mesh integration: VCT0 training step sharded over the
+8-device CPU mesh (dp batch sharding + tp LM sharding)."""
+
+import argparse
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from explicit_alignment_for_vqa_tasks_tpu.registry import (  # noqa: E402
+    DATA_LOADERS,
+    EXECUTORS,
+)
+from explicit_alignment_for_vqa_tasks_tpu.utils.attr_dict import AttrDict  # noqa: E402
+from explicit_alignment_for_vqa_tasks_tpu.utils.config_system import (  # noqa: E402
+    process_config,
+)
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PREFIX_SIZE = 16
+
+
+def test_vct0_training_on_mesh(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import explicit_alignment_for_vqa_tasks_tpu.main  # noqa: F401 registers
+
+    rng = np.random.default_rng(0)
+    n = 16
+    table = pa.table({
+        "image_url": [[f"http://img/{i}"] for i in range(n)],
+        "caption": [[f"object {i} ."] for i in range(n)],
+        "clip_embeddings": [
+            rng.standard_normal(PREFIX_SIZE).astype(np.float32).tolist()
+            for _ in range(n)
+        ],
+    })
+    pq.write_table(table, tmp_path / "cc.parquet")
+
+    args = argparse.Namespace(
+        config="configs/conceptual_captions/conceptual_captions.jsonnet",
+        mode="train", experiment_name="mesh_e2e", reset=False,
+        num_shots=-1, no_prefix=0,
+        pass_examples_through_encoder_one_at_a_time=0,
+        num_permutations_of_in_context_examples=0,
+        sample_templates=0, ensemble_one_shots=0,
+        in_context_examples_fpath="", modules=[], tags=[],
+        test_batch_size=-1, test_evaluation_name="", opts=[],
+    )
+    os.chdir(REPO_ROOT)
+    config = process_config(args)
+    config.EXPERIMENT_FOLDER = str(tmp_path / "experiments")
+    config.saved_model_path = str(tmp_path / "sm")
+    config.cache.default_folder = str(tmp_path / "cache")
+    config.model_config.TokenizerClass = "SimpleTokenizer"
+    config.model_config.ConfigClass = "T5_test"
+    # tp-divisible dims (model axis 2): heads 8, d_ff 128
+    config.model_config.lm_config = {
+        "d_model": 64, "d_kv": 8, "num_heads": 8, "d_ff": 128,
+        "num_encoder_layers": 2, "num_decoder_layers": 2,
+        "relative_attention_num_buckets": 8,
+        "relative_attention_max_distance": 16,
+    }
+    config.model_config.pretrained = 0
+    config.model_config.model_args.prefix_size = PREFIX_SIZE
+    config.model_config.model_args.prefix_length = 2
+    config.tpu.compute_dtype = "float32"
+    config.tpu.params_dtype = "float32"
+    config.tpu.mesh = {"data": 4, "model": 2}
+    config.train.epochs = 1
+    config.train.batch_size = 8
+    config.valid.batch_size = 8
+    config.valid.step_size = 0
+    config.train.additional.gradient_accumulation_steps = 1
+    cc = config.data_loader.dataset_modules.module_dict
+    cc.LoadConceptualCaptions.config = AttrDict(
+        train=str(tmp_path / "cc.parquet"), val=str(tmp_path / "cc.parquet"),
+    )
+
+    data_loader = DATA_LOADERS.get(config.data_loader.type)(config)
+    data_loader.build_dataset()
+    data_loader.set_dataloader()
+    executor = EXECUTORS.get(config.train.type)(config, data_loader)
+    assert executor.mesh is not None
+    assert dict(executor.mesh.shape) == {"data": 4, "model": 2}
+    # LM weights actually sharded over the model axis
+    q = executor.model.params["lm"]["encoder"]["self_attn"]["q"]
+    assert not q.sharding.is_fully_replicated
+    executor.train()
