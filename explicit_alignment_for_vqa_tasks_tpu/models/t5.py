@@ -47,6 +47,9 @@ class T5Config:
     eos_token_id: int = 1
     decoder_start_token_id: int = 0
     dtype: Any = jnp.bfloat16  # compute dtype
+    # rematerialize each layer in the backward pass (trades FLOPs for HBM;
+    # useful when training through the frozen LM at long sequence lengths)
+    remat: bool = False
 
     @classmethod
     def t0_3b(cls, **kw) -> "T5Config":
@@ -297,6 +300,8 @@ def t5_encode(
         y = y + _ffn_block(layer_p["ffn"], ffn_in, cfg)
         return y, None
 
+    if cfg.remat:
+        layer = jax.checkpoint(layer)
     stacked = {
         "self_attn": enc["self_attn"], "ffn": enc["ffn"],
         "ln0": enc["ln0"], "ln1": enc["ln1"],
@@ -335,6 +340,8 @@ def _decoder_scan(
         y = y + _ffn_block(layer_p["ffn"], ffn_in, cfg)
         return y, None
 
+    if cfg.remat:
+        layer = jax.checkpoint(layer)
     stacked = {
         "self_attn": dec["self_attn"], "cross_attn": dec["cross_attn"],
         "ffn": dec["ffn"], "ln0": dec["ln0"], "ln1": dec["ln1"],

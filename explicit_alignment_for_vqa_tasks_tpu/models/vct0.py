@@ -130,12 +130,13 @@ import functools  # noqa: E402
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "num_prefixes", "max_new_tokens")
+    jax.jit,
+    static_argnames=("cfg", "num_prefixes", "max_new_tokens", "num_beams"),
 )
 def _generate_main(
     lm_params: Params, mapper_params: Params, cfg: VCT0Config,
     prefix: jax.Array, tokens: jax.Array, mask: jax.Array,
-    num_prefixes: int, max_new_tokens: int,
+    num_prefixes: int, max_new_tokens: int, num_beams: int = 1,
 ):
     text_embeds = t5_lib.embed_tokens(lm_params, cfg.lm, tokens)
     prefix_proj = project_prefix(cfg, mapper_params, prefix)
@@ -146,18 +147,36 @@ def _generate_main(
     hidden = t5_lib.t5_encode(
         lm_params, cfg.lm, inputs_embeds=joint, attention_mask=joint_mask
     )
+    if num_beams > 1:
+        beam_tokens, beam_scores = _decoding.beam_search_t5(
+            lm_params, cfg.lm, hidden, joint_mask,
+            num_beams=num_beams, max_new_tokens=max_new_tokens,
+        )
+        return beam_tokens, jnp.broadcast_to(
+            beam_scores[:, None] / max_new_tokens, beam_tokens.shape
+        )
     return _decoding.greedy_decode_t5(lm_params, cfg.lm, hidden, joint_mask,
                             max_new_tokens)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_new_tokens", "num_beams")
+)
 def _generate_no_prefix(
     lm_params: Params, cfg: VCT0Config, tokens: jax.Array, mask: jax.Array,
-    max_new_tokens: int,
+    max_new_tokens: int, num_beams: int = 1,
 ):
     hidden = t5_lib.t5_encode(
         lm_params, cfg.lm, input_ids=tokens, attention_mask=mask
     )
+    if num_beams > 1:
+        beam_tokens, beam_scores = _decoding.beam_search_t5(
+            lm_params, cfg.lm, hidden, mask,
+            num_beams=num_beams, max_new_tokens=max_new_tokens,
+        )
+        return beam_tokens, jnp.broadcast_to(
+            beam_scores[:, None] / max_new_tokens, beam_tokens.shape
+        )
     return _decoding.greedy_decode_t5(lm_params, cfg.lm, hidden, mask, max_new_tokens)
 
 
@@ -274,8 +293,11 @@ class VCT0Model:
         pass_examples_through_encoder_one_at_a_time: bool = False,
         num_shots: Optional[int] = None,
         max_new_tokens: int = 20,
+        num_beams: int = 1,
     ) -> Tuple[jax.Array, jax.Array]:
-        """Returns (tokens (B, T), token_logprobs (B, T))."""
+        """Returns (tokens (B, T), token_logprobs (B, T)). With
+        num_beams > 1 the second element is the per-sequence beam score
+        broadcast over positions."""
         cfg, params = self.cfg, self.params
         lm_params, mapper_params = params["lm"], params["mapper"]
 
@@ -288,7 +310,7 @@ class VCT0Model:
                 )
             return _generate_no_prefix(
                 lm_params, cfg, question_tokens, question_mask,
-                max_new_tokens,
+                max_new_tokens, num_beams=num_beams,
             )
 
         if pass_examples_through_encoder_one_at_a_time:
@@ -306,7 +328,7 @@ class VCT0Model:
                 return _generate_main(
                     lm_params, mapper_params, cfg, prefix, question_tokens,
                     question_mask, num_prefixes=num_prefixes,
-                    max_new_tokens=max_new_tokens,
+                    max_new_tokens=max_new_tokens, num_beams=num_beams,
                 )
             # forced decoder prefix: only the test image's prefix is
             # spliced (reference: vct0.py:466-482)

@@ -180,6 +180,101 @@ def greedy_decode_gpt2(
     return tokens.T, logprobs.T
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_beams", "max_new_tokens"),
+)
+def beam_search_t5(
+    params: Dict[str, Any],
+    cfg: t5_lib.T5Config,
+    encoder_hidden: jax.Array,     # (B, L, D)
+    encoder_mask: jax.Array,       # (B, L)
+    num_beams: int = 3,
+    max_new_tokens: int = 20,
+    length_penalty: float = 1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Beam search over the KV-cached decoder (the reference exposes this
+    via HF generate's ``num_beams``, configs' additional.num_beams).
+
+    Fixed ``max_new_tokens`` steps (finished beams emit pad at zero cost);
+    final hypothesis = argmax of score / len**length_penalty. Returns
+    (tokens (B, T), sequence_scores (B,)).
+    """
+    batch, _, _ = encoder_hidden.shape
+    K = num_beams
+    V = cfg.vocab_size
+    enc = jnp.repeat(encoder_hidden, K, axis=0)
+    mask = jnp.repeat(encoder_mask, K, axis=0)
+    cache = t5_lib.init_decode_cache(params, cfg, enc, max_new_tokens)
+
+    start = jnp.full((batch * K,), cfg.decoder_start_token_id, jnp.int32)
+    # only beam 0 is live initially so the first expansion yields K
+    # DISTINCT continuations
+    scores = jnp.tile(
+        jnp.asarray([0.0] + [-1e9] * (K - 1), jnp.float32), batch
+    )
+    finished = jnp.zeros((batch * K,), dtype=bool)
+    gen_len = jnp.zeros((batch * K,), dtype=jnp.int32)
+    buf = jnp.zeros((batch * K, max_new_tokens), dtype=jnp.int32)
+
+    def reorder(tree, flat_beam):
+        def pick(a):
+            if hasattr(a, "ndim") and a.ndim >= 2:
+                return jnp.take(a, flat_beam, axis=1)
+            return a
+
+        return {
+            "self_k": jnp.take(tree["self_k"], flat_beam, axis=1),
+            "self_v": jnp.take(tree["self_v"], flat_beam, axis=1),
+            "cross_k": jnp.take(tree["cross_k"], flat_beam, axis=1),
+            "cross_v": jnp.take(tree["cross_v"], flat_beam, axis=1),
+            "index": tree["index"],
+        }
+
+    def step(state, t):
+        last_token, cache, scores, finished, gen_len, buf = state
+        logits, cache = t5_lib.t5_decode_step(
+            params, cfg, last_token, cache, mask
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)      # (B*K, V)
+        # finished beams may only emit pad, at no score cost
+        pad_row = jnp.full((V,), -1e9).at[cfg.pad_token_id].set(0.0)
+        logp = jnp.where(finished[:, None], pad_row[None], logp)
+        total = (scores[:, None] + logp).reshape(batch, K * V)
+        top_scores, top_idx = jax.lax.top_k(total, K)    # (B, K)
+        beam_idx = top_idx // V
+        token_idx = (top_idx % V).astype(jnp.int32)
+        flat_beam = (
+            jnp.arange(batch, dtype=jnp.int32)[:, None] * K + beam_idx
+        ).reshape(-1)
+        new_token = token_idx.reshape(-1)
+        was_finished = finished[flat_beam]
+        new_finished = was_finished | (new_token == cfg.eos_token_id)
+        new_gen_len = gen_len[flat_beam] + (~was_finished).astype(jnp.int32)
+        new_buf = jnp.take(buf, flat_beam, axis=0).at[:, t].set(new_token)
+        new_cache = reorder(cache, flat_beam)
+        return (
+            new_token, new_cache, top_scores.reshape(-1), new_finished,
+            new_gen_len, new_buf,
+        ), None
+
+    state = (start, cache, scores, finished, gen_len, buf)
+    state, _ = jax.lax.scan(
+        step, state, jnp.arange(max_new_tokens), length=max_new_tokens
+    )
+    _, _, scores, _, gen_len, buf = state
+    norm = scores / jnp.maximum(gen_len, 1).astype(jnp.float32) ** \
+        length_penalty
+    norm = norm.reshape(batch, K)
+    best = jnp.argmax(norm, axis=1)
+    buf = buf.reshape(batch, K, max_new_tokens)
+    tokens = jnp.take_along_axis(
+        buf, best[:, None, None], axis=1
+    )[:, 0]
+    best_scores = jnp.take_along_axis(norm, best[:, None], axis=1)[:, 0]
+    return tokens, best_scores
+
+
 def sequence_scores(
     tokens: jax.Array,        # (B, T)
     token_logprobs: jax.Array,  # (B, T)

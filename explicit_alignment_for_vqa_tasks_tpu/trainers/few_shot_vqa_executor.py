@@ -64,6 +64,7 @@ class FewShotVQAExecutor(BaseExecutor):
         )
         ensemble_one_shots = bool(additional.get("ensemble_one_shots", 0))
         no_prefix = bool(additional.get("no_prefix", 0))
+        num_beams = int(additional.get("num_beams", 1))
 
         input_ids = self._shard(jnp.asarray(batch.generative_input_ids))
         attention_mask = self._shard(
@@ -125,6 +126,7 @@ class FewShotVQAExecutor(BaseExecutor):
                 decoder_input_ids=decoder_input_ids,
                 no_prefix=no_prefix,
                 max_new_tokens=max_new,
+                num_beams=num_beams,
             )
 
         tokens_np = np.asarray(tokens)

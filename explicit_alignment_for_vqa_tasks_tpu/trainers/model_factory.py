@@ -114,7 +114,11 @@ def build_model_from_config(config: Any) -> Tuple[Any, Any]:
 
     if model_class in ("VCT0Prefix", "VCT0Model"):
         base = T5_CONFIGS.get(mc.get("ConfigClass", "T0_3B"), T5Config.t0_3b)
-        lm_cfg = base(dtype=compute_dtype, **_lm_overrides(config))
+        overrides = _lm_overrides(config)
+        overrides.setdefault(
+            "remat", bool(config.get("tpu", {}).get("remat", False))
+        )
+        lm_cfg = base(dtype=compute_dtype, **overrides)
         cfg = VCT0Config.from_model_args(
             model_args, lm_cfg=lm_cfg,
             freeze_lm=(model_class == "VCT0Prefix"),
