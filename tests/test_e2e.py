@@ -225,6 +225,13 @@ class TestFewShotVQAEndToEnd:
         metrics = executor.test()
         assert "test_evaluation/accuracy_overall" in metrics
 
+    def test_beam_search_eval(self, tmp_path):
+        fixtures = write_vqa_fixtures(tmp_path)
+        config = make_test_config(tmp_path, fixtures, num_beams=2)
+        executor = build_executor(config)
+        metrics = executor.test()
+        assert "test_evaluation/accuracy_overall" in metrics
+
     def test_one_at_a_time_encoder(self, tmp_path):
         fixtures = write_vqa_fixtures(tmp_path)
         config = make_test_config(
