@@ -100,13 +100,27 @@ class SimpleTokenizer:
         return self.vocab_size
 
     # -- encode ------------------------------------------------------------
+    _SPECIAL_RE = re.compile(r"<extra_id_\d+>|<pad>|</s>|<unk>")
+
     def tokenize_to_ids(self, text: str) -> List[int]:
-        # split out sentinel tokens first so they stay atomic
+        # split out special tokens (sentinels, <pad>, </s>) so they stay
+        # atomic even when embedded without surrounding whitespace
         ids: List[int] = []
         pos = 0
-        for match in _SENTINEL_RE.finditer(text):
-            ids.extend(self._intern(w) for w in text[pos:match.start()].split())
-            ids.append(T5_SENTINEL_BASE - int(match.group(1)))
+        for match in self._SPECIAL_RE.finditer(text):
+            ids.extend(
+                self._intern(w) for w in text[pos:match.start()].split()
+            )
+            tok = match.group(0)
+            sent = _SENTINEL_RE.fullmatch(tok)
+            if sent:
+                ids.append(T5_SENTINEL_BASE - int(sent.group(1)))
+            elif tok == "<pad>":
+                ids.append(self.pad_token_id)
+            elif tok == "</s>":
+                ids.append(self.eos_token_id)
+            else:
+                ids.append(self.unk_token_id)
             pos = match.end()
         ids.extend(self._intern(w) for w in text[pos:].split())
         return ids

@@ -225,6 +225,26 @@ class TestFewShotVQAEndToEnd:
         metrics = executor.test()
         assert "test_evaluation/accuracy_overall" in metrics
 
+    def test_forced_decoder_prefix_eval(self, tmp_path):
+        """decoder_generation mode: a left-padded decoder prompt is
+        teacher-forced before greedy continuation
+        (reference: vct0.py:466-482 + module_parser.py:397-399)."""
+        fixtures = write_vqa_fixtures(tmp_path)
+        config = make_test_config(tmp_path, fixtures)
+        config.model_config.decoder_input_modules = AttrDict(
+            module_list=[
+                {"type": "QuestionInput", "option": "default",
+                 "separation_tokens": {"start": "", "end": ""}},
+            ],
+            postprocess_module_list=[
+                {"type": "PostProcessInputTokenization",
+                 "option": "decoder_generation"},
+            ],
+        )
+        executor = build_executor(config)
+        metrics = executor.test()
+        assert "test_evaluation/accuracy_overall" in metrics
+
     def test_beam_search_eval(self, tmp_path):
         fixtures = write_vqa_fixtures(tmp_path)
         config = make_test_config(tmp_path, fixtures, num_beams=2)
