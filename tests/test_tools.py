@@ -1,0 +1,167 @@
+"""Offline tools: CLIP encoders, extraction pipelines, analysis scripts."""
+
+import json
+import pickle
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from explicit_alignment_for_vqa_tasks_tpu.models.clip import (  # noqa: E402
+    CLIPVisionConfig,
+    init_clip_vision_params,
+)
+from explicit_alignment_for_vqa_tasks_tpu.tools.clip_encoder import (  # noqa: E402
+    ClipImageEncoder,
+    preprocess_image,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_encoder():
+    cfg = CLIPVisionConfig.small_test()
+    params = init_clip_vision_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    return ClipImageEncoder(cfg=cfg, params=params, batch_size=4)
+
+
+class TestPreprocess:
+    def test_resize_center_crop_normalize(self):
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, size=(60, 90, 3)).astype(np.uint8)
+        out = preprocess_image(img, 28)
+        assert out.shape == (28, 28, 3)
+        assert out.dtype == np.float32
+        assert -3.0 < out.mean() < 3.0
+
+    def test_grayscale_and_rgba(self):
+        gray = np.zeros((40, 40), dtype=np.uint8)
+        assert preprocess_image(gray, 28).shape == (28, 28, 3)
+        rgba = np.zeros((40, 40, 4), dtype=np.uint8)
+        assert preprocess_image(rgba, 28).shape == (28, 28, 3)
+
+
+class TestClipImageEncoder:
+    def test_encode_batch_pads_partial(self, tiny_encoder):
+        rng = np.random.default_rng(1)
+        images = rng.standard_normal((3, 28, 28, 3)).astype(np.float32)
+        out = tiny_encoder.encode_batch(images)
+        assert out.shape == (3, 16)
+
+    def test_encode_iter_streams(self, tiny_encoder):
+        rng = np.random.default_rng(2)
+        items = [
+            (f"img{i}", rng.standard_normal((28, 28, 3)).astype(np.float32))
+            for i in range(9)
+        ]
+        out = dict(tiny_encoder.encode_iter(items))
+        assert set(out) == {f"img{i}" for i in range(9)}
+        # deterministic: same image -> same embedding regardless of batch
+        single = tiny_encoder.encode_batch(items[0][1][None])[0]
+        np.testing.assert_allclose(out["img0"], single, rtol=1e-5, atol=1e-5)
+
+
+class TestImageExtraction:
+    def test_extract_writes_reference_format(self, tmp_path, tiny_encoder):
+        from PIL import Image
+
+        from explicit_alignment_for_vqa_tasks_tpu.tools import (
+            extract_contrastive_image_embeddings as mod,
+        )
+
+        img_dir = tmp_path / "val2014"
+        img_dir.mkdir()
+        rng = np.random.default_rng(3)
+        for img_id in (7, 8):
+            arr = rng.integers(0, 255, size=(40, 40, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(
+                img_dir / f"COCO_val2014_{str(img_id).zfill(12)}.jpg"
+            )
+        q_file = tmp_path / "questions.json"
+        q_file.write_text(json.dumps({"questions": [
+            {"question_id": 1, "image_id": 7, "question": "q?"},
+            {"question_id": 2, "image_id": 8, "question": "q?"},
+            {"question_id": 3, "image_id": 8, "question": "q2?"},
+        ]}))
+        out = tmp_path / "emb.pkl"
+        embeddings = mod.extract(
+            str(q_file), str(img_dir), "val2014", str(out),
+            encoder=tiny_encoder,
+        )
+        assert set(embeddings) == {"7", "8"}  # unique images only
+        assert embeddings["7"].shape == (1, 16)
+        with open(out, "rb") as fh:
+            assert set(pickle.load(fh)) == {"7", "8"}
+
+
+class TestCCExtraction:
+    def test_extract_rows_with_fake_fetch(self, tmp_path, tiny_encoder):
+        import pyarrow.parquet as pq
+
+        from explicit_alignment_for_vqa_tasks_tpu.tools import (
+            extract_clip_embeddings_conceptual_captions as mod,
+        )
+
+        rng = np.random.default_rng(4)
+
+        def fake_fetch(url):
+            if url.endswith("bad"):
+                return None  # simulates a dead link
+            return rng.integers(0, 255, size=(40, 40, 3)).astype(np.uint8)
+
+        rows = [
+            {"image_url": f"http://x/{i}", "caption": f"a cat {i}."}
+            for i in range(5)
+        ] + [{"image_url": "http://x/bad", "caption": "gone"}]
+        out = tmp_path / "cc.parquet"
+        n = mod.extract_rows(rows, str(out), encoder=tiny_encoder,
+                             batch_size=4, num_threads=2, fetch=fake_fetch)
+        assert n == 5
+        table = pq.read_table(out)
+        assert table.column_names == [
+            "image_url", "caption", "clip_embeddings"
+        ]
+        # caption normalization: trailing ' .'
+        assert table.column("caption").to_pylist()[0][0].endswith(" .")
+
+    def test_normalize_caption(self):
+        from explicit_alignment_for_vqa_tasks_tpu.tools.\
+            extract_clip_embeddings_conceptual_captions import (
+            normalize_caption,
+        )
+
+        assert normalize_caption("a dog.") == "a dog ."
+        assert normalize_caption("a dog") == "a dog ."
+        assert normalize_caption("  a dog . ") == "a dog ."
+
+
+class TestAnalysis:
+    def test_answer_length_analysis(self, tmp_path):
+        from explicit_alignment_for_vqa_tasks_tpu.tools.\
+            answer_length_analysis import analyse
+
+        preds = tmp_path / "answers.pkl"
+        preds.write_bytes(pickle.dumps([
+            {"question_id": 1, "answer": "red"},
+            {"question_id": 2, "answer": "two dogs"},
+        ]))
+        examples = tmp_path / "rices.pkl"
+        examples.write_bytes(pickle.dumps({
+            "1": [{"gold_answer": "red"}], "2": [{"gold_answer": "blue"}],
+        }))
+        result = analyse(str(preds), str(examples), num_shots=1)
+        assert result["num_predictions"] == 2
+        assert result["copy_from_shot_rate"] == 0.5
+
+    def test_report_plot(self, tmp_path):
+        from explicit_alignment_for_vqa_tasks_tpu.tools.report_plots import (
+            plot_curves,
+        )
+
+        out = plot_curves(
+            {"ours": {0: 30.0, 4: 35.0}}, str(tmp_path / "plot.png")
+        )
+        import os
+
+        assert os.path.exists(out)
