@@ -184,6 +184,16 @@ class DataLoaderVQA2(DataLoaderWrapper):
         """Build per-question data items from the official VQA files with
         gold_answer = most frequent of the 10 answers, pickle-cached per
         split (reference: data_loader_vqa2.py:324-496)."""
+        self._load_vqa_format_data(module_config, target="vqa2_data")
+
+    def LoadOKVQAData(self, module_config: Any) -> None:
+        """OK-VQA variant: the OK-VQA files use the official VQA format,
+        so loading is shared; results land in data.okvqa_data for
+        compute_okvqa_scores (the reference referenced okvqa_data without
+        shipping a loader — SURVEY §2.3-adjacent gap, closed here)."""
+        self._load_vqa_format_data(module_config, target="okvqa_data")
+
+    def _load_vqa_format_data(self, module_config: Any, target: str) -> None:
         answer_candidates: List[str] = []
         splits = ["val"] if self.config.mode == "test" else ["train", "val"]
         vqa_helpers = {
@@ -194,16 +204,18 @@ class DataLoaderVQA2(DataLoaderWrapper):
             for split in splits
         }
 
-        self.data.vqa2_data = AttrDict(
+        self.data[target] = AttrDict(
             train={}, val={}, lookup={}, vqa_helpers=vqa_helpers
         )
+        # vqa2 keeps the reference's cache names for artifact compatibility
+        cache_prefix = "" if target == "vqa2_data" else f"{target}_"
 
         for split, helper in vqa_helpers.items():
             cached = load_cached_data(
-                self.config, f"{split}_data_preprocessed"
+                self.config, f"{cache_prefix}{split}_data_preprocessed"
             )
             if cached:
-                self.data.vqa2_data[split] = cached
+                self.data[target][split] = cached
             else:
                 img_dir = module_config.config.image_data_path[split]
                 img_list = []
@@ -243,22 +255,22 @@ class DataLoaderVQA2(DataLoaderWrapper):
                             if ans not in answer_candidates:
                                 answer_candidates.append(ans)
 
-                self.data.vqa2_data[split] = AttrDict(data_items=data_items)
+                self.data[target][split] = AttrDict(data_items=data_items)
                 save_cached_data(
                     self.config,
-                    self.data.vqa2_data[split],
-                    f"{split}_data_preprocessed",
+                    self.data[target][split],
+                    f"{cache_prefix}{split}_data_preprocessed",
                 )
 
-            for item in self.data.vqa2_data[split].data_items:
-                self.data.vqa2_data["lookup"][str(item.question_id)] = item
+            for item in self.data[target][split].data_items:
+                self.data[target]["lookup"][str(item.question_id)] = item
             logger.info(
                 "[Data statistics] split %s: %d entries",
-                split, len(self.data.vqa2_data[split].data_items),
+                split, len(self.data[target][split].data_items),
             )
 
-        self.data.vqa2_data.answer_candidate_list = answer_candidates
-        self.data.vqa_data = self.data.vqa2_data
+        self.data[target].answer_candidate_list = answer_candidates
+        self.data.vqa_data = self.data[target]
 
     def set_dataloader(self) -> None:
         """Wrap datasets in batch iterators
