@@ -233,3 +233,76 @@ def clip_text_params_from_hf(state_dict: Mapping[str, Any], cfg,
             state_dict["text_projection.weight"], dtype
         ).T
     return params
+
+
+def mapper_params_from_reference_ckpt(state_dict: Mapping[str, Any],
+                                      mapping_type: str,
+                                      dtype: Any = np.float32) -> Params:
+    """Convert a reference (PyTorch-Lightning) checkpoint's trained
+    mapping-network weights to our mapper pytree.
+
+    The reference checkpoint stores the full LightningModule state dict
+    with a ``model.`` prefix (its caption notebook strips ``key[6:]``);
+    only ``clip_project.*`` is trainable, so that is all we convert.
+    Layouts (reference: src/models/vct0.py):
+      * MLP: ``clip_project.model.{0,2}.{weight,bias}`` — torch Linear
+        (out, in), transposed to our (in, out)
+      * Transformer: ``clip_project.linear``, ``clip_project.prefix_const``
+        and 8 ``clip_project.transformer.layers.{i}`` blocks
+        (attn.to_queries / to_keys_values / project, mlp.fc1/fc2,
+        norm1/norm2)
+    """
+    sd = {}
+    for key, value in state_dict.items():
+        key = key.removeprefix("model.")
+        if key.startswith("clip_project."):
+            sd[key.removeprefix("clip_project.")] = value
+    if not sd:
+        raise ValueError("no clip_project.* weights found in checkpoint")
+
+    def linear(prefix: str, bias_optional: bool = False) -> Params:
+        out: Params = {"w": _np(sd[f"{prefix}.weight"], dtype).T}
+        if f"{prefix}.bias" in sd:
+            out["b"] = _np(sd[f"{prefix}.bias"], dtype)
+        elif bias_optional:
+            out["b"] = np.zeros(out["w"].shape[-1], dtype=dtype)
+        else:
+            raise KeyError(f"{prefix}.bias")
+        return out
+
+    if mapping_type == "mlp":
+        return {"fc1": linear("model.0"), "fc2": linear("model.2")}
+
+    if mapping_type == "transformer":
+        n_layers = 0
+        while f"transformer.layers.{n_layers}.norm1.weight" in sd:
+            n_layers += 1
+        blocks = []
+        for i in range(n_layers):
+            base = f"transformer.layers.{i}"
+            blocks.append({
+                "ln1_scale": _np(sd[f"{base}.norm1.weight"], dtype),
+                "ln1_bias": _np(sd[f"{base}.norm1.bias"], dtype),
+                "q": linear(f"{base}.attn.to_queries", bias_optional=True),
+                "kv": linear(f"{base}.attn.to_keys_values",
+                             bias_optional=True),
+                "o": linear(f"{base}.attn.project"),
+                "ln2_scale": _np(sd[f"{base}.norm2.weight"], dtype),
+                "ln2_bias": _np(sd[f"{base}.norm2.bias"], dtype),
+                "mlp": {
+                    "fc1": linear(f"{base}.mlp.fc1"),
+                    "fc2": linear(f"{base}.mlp.fc2"),
+                },
+            })
+        import jax
+
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *blocks)
+        return {
+            "linear": linear("linear"),
+            "prefix_const": _np(sd["prefix_const"], dtype),
+            "blocks": stacked,
+        }
+
+    raise ValueError(
+        f"unsupported mapping_type for conversion: {mapping_type}"
+    )
