@@ -117,6 +117,9 @@ def initialization(args: argparse.Namespace):
 
 def main(config) -> None:
     """Orchestration (reference: src/main.py:69-197)."""
+    from .parallel.multihost import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     set_seed(int(config.get("seed", 2021)))
 
     data_loader_cls = DATA_LOADERS.get(config.data_loader.type)

@@ -1,4 +1,5 @@
 from .gather import gather_predictions_to_host0, metric_psum
+from .multihost import maybe_initialize_distributed
 from .mesh import (
     batch_sharding,
     make_mesh,
@@ -12,6 +13,7 @@ from .mesh import (
 __all__ = [
     "batch_sharding",
     "gather_predictions_to_host0",
+    "maybe_initialize_distributed",
     "metric_psum",
     "make_mesh",
     "replicate_params",
