@@ -48,8 +48,7 @@ class WandbSink:
             return
         wb_cfg = config.get("WANDB", {})
         self._run = wandb.init(
-            project=wb_cfg.get("CACHE_DIR") and wb_cfg.get("project") or
-            wb_cfg.get("project", "explicit-alignment-tpu"),
+            project=wb_cfg.get("project") or "explicit-alignment-tpu",
             entity=wb_cfg.get("entity") or None,
             name=config.get("experiment_name", "default"),
             tags=list(wb_cfg.get("tags", [])),
