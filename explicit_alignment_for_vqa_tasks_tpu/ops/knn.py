@@ -86,6 +86,16 @@ def grouped_knn_search(
     index rebuild, get_image_knn_from_text_knn.py:57-95). Invalid slots
     get -inf similarity."""
     k = min(k, candidates.shape[1])
+    # pad the candidate axis to a power of two so differently-sized groups
+    # reuse a small closed set of compiled programs
+    width = candidates.shape[1]
+    padded_width = 1
+    while padded_width < width:
+        padded_width *= 2
+    if padded_width != width:
+        pad = padded_width - width
+        candidates = np.pad(candidates, ((0, 0), (0, pad), (0, 0)))
+        candidate_mask = np.pad(candidate_mask, ((0, 0), (0, pad)))
     sims_out, idx_out = [], []
     for start in range(0, queries.shape[0], batch_chunk):
         q = jnp.asarray(queries[start:start + batch_chunk], jnp.float32)
