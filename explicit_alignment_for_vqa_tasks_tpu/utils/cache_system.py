@@ -20,12 +20,16 @@ def _cache_path(cache_folder: str, name: str) -> str:
 
 
 def save_cached_data(config: Any, data: Any, name: str) -> str:
-    """Pickle `data` under the configured cache folder, keyed by `name`."""
+    """Pickle `data` under the configured cache folder, keyed by `name`.
+
+    Stored wrapped as ``{"cache": data}`` — the reference's on-disk layout
+    (reference: cache_system.py:24-26), so cache files interoperate with
+    reference runs and its offline scripts."""
     folder = config.cache.default_folder
     os.makedirs(folder, exist_ok=True)
     path = _cache_path(folder, name)
     with open(path, "wb") as fh:
-        pickle.dump(data, fh, protocol=pickle.HIGHEST_PROTOCOL)
+        pickle.dump({"cache": data}, fh, protocol=pickle.HIGHEST_PROTOCOL)
     logger.info("cached %s -> %s", name, path)
     return path
 
@@ -42,6 +46,8 @@ def load_cached_data(config: Any, name: str) -> Optional[Any]:
     try:
         with open(path, "rb") as fh:
             data = pickle.load(fh)
+        if isinstance(data, dict) and set(data) == {"cache"}:
+            data = data["cache"]  # reference wrapper format
         logger.info("cache hit for %s (%s)", name, path)
         return data
     except Exception as exc:  # corrupt cache: treat as a miss
