@@ -134,6 +134,53 @@ class TestRICES:
         examples = rices["2000"]
         assert examples[-1]["question_id"] == 1000  # highest similarity last
 
+    def test_run_full_pipeline_files(self, tmp_path):
+        import pickle
+
+        from explicit_alignment_for_vqa_tasks_tpu.\
+            in_context_example_selection.rices import run_full_pipeline
+
+        rng = np.random.default_rng(5)
+        train_items = make_items(10, 1000, 100)
+        val_items = make_items(3, 2000, 500)
+        d = 8
+
+        def dump(obj, name):
+            path = tmp_path / name
+            path.write_bytes(pickle.dumps(obj))
+            return str(path)
+
+        train_text = dump({
+            str(i["question_id"]):
+                rng.standard_normal((1, d)).astype(np.float32)
+            for i in train_items
+        }, "tt.pkl")
+        val_text = dump({
+            str(i["question_id"]):
+                rng.standard_normal((1, d)).astype(np.float32)
+            for i in val_items
+        }, "vt.pkl")
+        train_img = dump({
+            str(i["img_key"]):
+                rng.standard_normal((1, d)).astype(np.float32)
+            for i in train_items
+        }, "ti.pkl")
+        val_img = dump({
+            str(i["img_key"]):
+                rng.standard_normal((1, d)).astype(np.float32)
+            for i in val_items
+        }, "vi.pkl")
+
+        out = tmp_path / "rices.pkl"
+        rices = run_full_pipeline(
+            train_text, val_text, train_img, val_img,
+            train_items, val_items, str(out), k_questions=6,
+        )
+        assert len(rices) == 3
+        with open(out, "rb") as fh:
+            on_disk = pickle.load(fh)
+        assert set(on_disk) == set(rices)
+
     def test_random_baseline(self):
         train_items = make_items(20, 1000, 100)
         out = random_examples(train_items, [2000, 2001], num_examples=5,
