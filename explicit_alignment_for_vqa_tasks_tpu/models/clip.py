@@ -18,7 +18,7 @@ Numerics verified against HF CLIP in tests/test_clip_parity.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ config files) but use explicit registries instead of import-side effects.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Type
+from typing import Any, Callable, Dict
 
 
 class Registry:

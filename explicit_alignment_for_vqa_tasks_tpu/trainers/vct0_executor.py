@@ -9,7 +9,6 @@ the mapper params + optax state.
 
 from __future__ import annotations
 
-import functools
 import logging
 from typing import Any, Dict, List
 

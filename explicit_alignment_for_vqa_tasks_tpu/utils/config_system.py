@@ -17,7 +17,7 @@ import ast
 import json
 import os
 from pathlib import Path
-from typing import Any, List, Optional
+from typing import Any, List
 
 from .attr_dict import AttrDict
 from .jsonnet_eval import evaluate_file
