@@ -47,6 +47,12 @@ class VQA2Dataset(ModuleParser):
             # (reference: vqa2_datasets.py:73 +
             #  in_context_example_selection/get_average_similarities.py:46-62)
             examples = self.in_context_examples.get(str(item.question_id))
+            if examples is None:
+                raise KeyError(
+                    f"no in-context examples for question "
+                    f"{item.question_id}; check the LoadInContextExamples "
+                    "file (--in_context_examples_fpath) or set num_shots=0"
+                )
             in_context_examples = list(examples[-num_shots:])
 
         clip_embeddings = [

@@ -148,10 +148,21 @@ def main(config) -> None:
         multi_logger.close()
 
 
+def _close_file_handlers() -> None:
+    root = logging.getLogger()
+    for handler in list(root.handlers):
+        if isinstance(handler, RotatingFileHandler):
+            root.removeHandler(handler)
+            handler.close()
+
+
 def run(argv: Optional[List[str]] = None) -> None:
     args = parse_args_sys(argv)
     config = initialization(args)
-    main(config)
+    try:
+        main(config)
+    finally:
+        _close_file_handlers()
 
 
 if __name__ == "__main__":

@@ -263,6 +263,67 @@ class TestFewShotVQAEndToEnd:
         assert "test_evaluation/accuracy_overall" in metrics
 
 
+class TestCLITestMode:
+    def test_cli_eval_with_checkpoint(self, tmp_path, monkeypatch):
+        """Full CLI eval: checkpoint resolution + test run + answers.pkl."""
+        from explicit_alignment_for_vqa_tasks_tpu.main import run
+
+        fixtures = write_vqa_fixtures(tmp_path)
+        # build an executor once just to produce a valid checkpoint
+        config = make_test_config(tmp_path, fixtures)
+        executor = build_executor(config)
+        save_checkpoint(config.saved_model_path, 0,
+                        executor.trainable_state())
+
+        monkeypatch.chdir(REPO_ROOT)
+        lm_cfg = ("{'d_model':32,'d_kv':8,'num_heads':4,'d_ff':64,"
+                  "'num_encoder_layers':2,'num_decoder_layers':2,"
+                  "'relative_attention_num_buckets':8,"
+                  "'relative_attention_max_distance':16}")
+        vqa_paths = (
+            "{'question_files':{'train':'%s','val':'%s'},"
+            "'annotation_files':{'train':'%s','val':'%s'}}"
+        ) % (fixtures["train_q"], fixtures["val_q"],
+             fixtures["train_a"], fixtures["val_a"])
+        run([
+            "configs/vqa2/few_shot_vqa_hotpotqa.jsonnet",
+            "--mode", "test",
+            "--experiment_name", "e2e_test",
+            "--num_shots", "2",
+            "--in_context_examples_fpath", fixtures["rices"],
+            "--disable_wandb", "--disable_tensorboard",
+            "--opts",
+            f"EXPERIMENT_FOLDER={tmp_path}/experiments",
+            f"TENSORBOARD_FOLDER={tmp_path}/tb",
+            f"cache.default_folder={tmp_path}/cache",
+            "model_config.TokenizerClass=SimpleTokenizer",
+            "model_config.ConfigClass=T5_test",
+            f"model_config.lm_config={lm_cfg}",
+            "model_config.pretrained=0",
+            f"model_config.model_args.prefix_size={PREFIX_SIZE}",
+            "model_config.model_args.prefix_length=2",
+            "tpu.compute_dtype=float32",
+            "tpu.params_dtype=float32",
+            "tpu.length_buckets=[64,128,256]",
+            "data_loader.additional.max_source_length=256",
+            "data_loader.additional.max_target_length=8",
+            "valid.batch_size=2",
+            "data_loader.dataset_modules.module_dict.LoadVQA2Data.config"
+            f".vqa_data_path={vqa_paths}",
+            "data_loader.dataset_modules.module_dict.LoadVQA2Data.config"
+            f".image_data_path={{'train':'{tmp_path}','val':'{tmp_path}'}}",
+            "data_loader.dataset_modules.module_dict.LoadClipEmbeddings"
+            f".config={{'train':'{fixtures['embeddings']}',"
+            f"'val':'{fixtures['embeddings']}'}}",
+        ])
+        results_dir = (
+            f"{tmp_path}/experiments/e2e_test/test/test_evaluation"
+        )
+        assert os.path.exists(f"{results_dir}/answers.pkl")
+        with open(f"{results_dir}/answers.pkl", "rb") as fh:
+            assert len(pickle.load(fh)) == 4
+
+
 class TestClipCapEndToEnd:
     def test_clipcap_train_and_eval(self, tmp_path):
         """ClipCap path: GPT-2 + mapper on VQA2 (QAInput training prompt,

@@ -116,6 +116,32 @@ class TestInsertPrefix:
             np.asarray(grad), 2 * prefix, rtol=1e-5
         )
 
+    def test_randomized_against_oracle(self):
+        rng = np.random.default_rng(7)
+        for trial in range(10):
+            P = int(rng.integers(1, 5))
+            n = int(rng.integers(1, 6))
+            L = int(rng.integers(P + 2, P + 12))
+            B = int(rng.integers(1, 4))
+            tokens = rng.integers(10, 500, size=(B, L)).astype(np.int32)
+            for b in range(B):
+                positions = rng.choice(L, size=P, replace=False)
+                # positional order of sentinels is arbitrary per row
+                for g, j in enumerate(sorted(positions)):
+                    tokens[b, j] = S - g
+            text = rng.standard_normal((B, L, 4)).astype(np.float32)
+            prefix = rng.standard_normal((B, P, n, 4)).astype(np.float32)
+            mask = rng.integers(0, 2, size=(B, L)).astype(np.int32)
+            got, got_mask = insert_prefix_into_input(
+                tokens, text, prefix, mask, prefix_length=n, num_prefixes=P
+            )
+            want, want_mask = reference_splice(tokens, text, prefix, mask, n)
+            np.testing.assert_allclose(
+                np.asarray(got), want, rtol=1e-6,
+                err_msg=f"trial {trial} P={P} n={n} L={L}",
+            )
+            np.testing.assert_array_equal(np.asarray(got_mask), want_mask)
+
     def test_jit_static_shapes(self):
         tokens, text, prefix, mask = make_case([[S, 11, 12, 1]], n=5, P=1)
         fn = jax.jit(
