@@ -1,0 +1,125 @@
+"""Fused ViT attention block (Pallas): qkv-projection + multi-head
+attention + output projection in ONE kernel.
+
+Motivation (measured on v5e, ViT-B/32 @ 50 tokens): attention is 0.1% of
+the model FLOPs but ~half the runtime under XLA — the (B,L,H,D)->(B,H,L,D)
+transposes, the fp32 score-tensor HBM traffic, and ~24k tiny batched
+matmuls dominate. This kernel keeps everything in VMEM per image group:
+
+  HBM reads : x block (G, L, D) + the four projection matrices
+              (constant blocks — fetched once across the grid)
+  HBM writes: attention output block (G, L, D)
+
+i.e. the q/k/v tensors, scores, and per-head intermediates never touch
+HBM. Layout stays (tokens, D) throughout; heads are lane slices.
+
+Residual add and layer norms remain outside (XLA fuses those into
+neighbors). Intended for short sequences (L <= ~128) where whole-sequence
+scores fit VMEM; the CLIP vision tower opts in via
+``CLIPVisionConfig.fused_attention``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _make_kernel(group: int, seq: int, num_heads: int, head_dim: int,
+                 scale: float, out_dtype):
+    d_model = num_heads * head_dim
+
+    def kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+               wo_ref, bo_ref, o_ref):
+        wq = wq_ref[:]
+        wk = wk_ref[:]
+        wv = wv_ref[:]
+        wo = wo_ref[:]
+
+        def per_image(g, _):
+            x = x_ref[g].astype(jnp.float32)          # (L, D)
+            q = jax.lax.dot_general(
+                x, wq.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bq_ref[:].astype(jnp.float32)
+            k = jax.lax.dot_general(
+                x, wk.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bk_ref[:].astype(jnp.float32)
+            v = jax.lax.dot_general(
+                x, wv.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bv_ref[:].astype(jnp.float32)
+
+            outs = []
+            for h in range(num_heads):
+                sl = slice(h * head_dim, (h + 1) * head_dim)
+                qh = q[:, sl] * scale
+                kh = k[:, sl]
+                vh = v[:, sl]
+                s = jax.lax.dot_general(
+                    qh, kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                       # (L, L)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                outs.append(jax.lax.dot_general(
+                    p, vh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ))                                      # (L, head_dim)
+            attn = jnp.concatenate(outs, axis=-1)       # (L, D)
+            y = jax.lax.dot_general(
+                attn, wo.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bo_ref[:].astype(jnp.float32)
+            o_ref[g] = y.astype(out_dtype)
+            return 0
+
+        jax.lax.fori_loop(0, group, per_image, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "group", "interpret"),
+)
+def fused_attention_block(
+    x: jax.Array,        # (B, L, D) — post-LN activations
+    wq: jax.Array, bq: jax.Array,
+    wk: jax.Array, bk: jax.Array,
+    wv: jax.Array, bv: jax.Array,
+    wo: jax.Array, bo: jax.Array,
+    num_heads: int,
+    group: int = 16,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Returns softmax((xWq)(xWk)^T/sqrt(dh))(xWv) Wo + bo, per head,
+    shaped (B, L, D). Requires B % group == 0."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, seq, d_model = x.shape
+    assert batch % group == 0, (batch, group)
+    head_dim = d_model // num_heads
+    scale = head_dim ** -0.5
+
+    kernel = _make_kernel(group, seq, num_heads, head_dim, scale, x.dtype)
+    grid = (batch // group,)
+    mat = pl.BlockSpec((d_model, d_model), lambda i: (0, 0))
+    vec = pl.BlockSpec((d_model,), lambda i: (0,))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((group, seq, d_model), lambda i: (i, 0, 0)),
+            mat, vec, mat, vec, mat, vec, mat, vec,
+        ],
+        out_specs=pl.BlockSpec((group, seq, d_model), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((batch, seq, d_model), x.dtype),
+        interpret=interpret,
+    )(x, wq, bq, wk, bk, wv, bv, wo, bo)
