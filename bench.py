@@ -39,7 +39,7 @@ def bench_vision(cfg_name: str, batch_size: int, k_batches: int = 4,
     )
 
     cfg = getattr(CLIPVisionConfig, cfg_name)(
-        dtype=jnp.bfloat16, fast_attention=True
+        dtype=jnp.bfloat16, fast_attention=True, fused_attention=True
     )
     params = init_clip_vision_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
 
