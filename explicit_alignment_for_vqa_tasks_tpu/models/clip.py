@@ -125,18 +125,41 @@ def _encoder_block(layer_p, x, bias, num_heads, eps, use_pallas=False,
 
     ln1 = _layer_norm(x, layer_p["ln1_scale"], layer_p["ln1_bias"], eps)
 
-    if fused_attention and bias is None and x.shape[1] <= 128:
-        from ..ops.fused_attention_block import fused_attention_block
+    if fused_attention and bias is None:
+        if x.shape[1] <= 128:
+            # whole block in one kernel (weights + activations fit VMEM)
+            from ..ops.fused_attention_block import fused_attention_block
 
-        attn = fused_attention_block(
-            ln1,
-            layer_p["q"].astype(dt), layer_p["q_bias"].astype(dt),
-            layer_p["k"].astype(dt), layer_p["k_bias"].astype(dt),
-            layer_p["v"].astype(dt), layer_p["v_bias"].astype(dt),
-            layer_p["o"].astype(dt), layer_p["o_bias"].astype(dt),
-            num_heads=num_heads, group=_fused_group(x.shape[0]),
-        )
-        x = x + attn
+            attn = fused_attention_block(
+                ln1,
+                layer_p["q"].astype(dt), layer_p["q_bias"].astype(dt),
+                layer_p["k"].astype(dt), layer_p["k_bias"].astype(dt),
+                layer_p["v"].astype(dt), layer_p["v_bias"].astype(dt),
+                layer_p["o"].astype(dt), layer_p["o_bias"].astype(dt),
+                num_heads=num_heads, group=_fused_group(x.shape[0]),
+            )
+            x = x + attn
+        else:
+            # long sequences: projections in XLA, attention core fused
+            from ..ops.fused_attention_block import attention_core
+
+            q = jnp.einsum("bld,de->ble", ln1, layer_p["q"].astype(dt),
+                           preferred_element_type=jnp.float32).astype(dt)
+            q = q + layer_p["q_bias"].astype(dt)
+            k = jnp.einsum("bld,de->ble", ln1, layer_p["k"].astype(dt),
+                           preferred_element_type=jnp.float32).astype(dt)
+            k = k + layer_p["k_bias"].astype(dt)
+            v = jnp.einsum("bld,de->ble", ln1, layer_p["v"].astype(dt),
+                           preferred_element_type=jnp.float32).astype(dt)
+            v = v + layer_p["v_bias"].astype(dt)
+            attn = attention_core(
+                q * (head_dim ** -0.5), k, v, num_heads, group=1
+            )
+            attn = jnp.einsum(
+                "ble,ed->bld", attn, layer_p["o"].astype(dt),
+                preferred_element_type=jnp.float32,
+            ).astype(dt)
+            x = x + attn + layer_p["o_bias"].astype(dt)
         ln2 = _layer_norm(x, layer_p["ln2_scale"], layer_p["ln2_bias"], eps)
         hidden = jnp.einsum(
             "bld,df->blf", ln2, layer_p["mlp_fc"].astype(dt),
