@@ -50,6 +50,12 @@ class T5Config:
     # rematerialize each layer in the backward pass (trades FLOPs for HBM;
     # useful when training through the frozen LM at long sequence lengths)
     remat: bool = False
+    # fused Pallas encoder self-attention
+    # (ops/fused_attention_block.py::t5_attention_core): position bias and
+    # scores stay in VMEM instead of materializing (B,H,L,L) fp32 tensors
+    # per layer — under XLA those cost 42.6% of T0-3B encoder runtime at
+    # 557 tokens. Inference-path optimization (no custom vjp).
+    fused_encoder_attention: bool = False
 
     @classmethod
     def t0_3b(cls, **kw) -> "T5Config":
@@ -287,18 +293,52 @@ def t5_encode(
     pos_bias = compute_position_bias(
         enc["rel_bias"], length, length, bidirectional=True, cfg=cfg
     )
-    mask_bias = jnp.where(
-        attention_mask[:, None, None, :] > 0, 0.0, NEG_INF
-    ).astype(jnp.float32)
-    bias = pos_bias + mask_bias  # (B, H, L, L)
 
-    def layer(carry, layer_p):
-        y = carry
-        attn_in = rms_norm(y, layer_p["ln0"], cfg.layer_norm_epsilon)
-        y = y + _attn_block(layer_p["self_attn"], attn_in, attn_in, bias, cfg)
-        ffn_in = rms_norm(y, layer_p["ln1"], cfg.layer_norm_epsilon)
-        y = y + _ffn_block(layer_p["ffn"], ffn_in, cfg)
-        return y, None
+    if cfg.fused_encoder_attention:
+        from ..ops.fused_attention_block import t5_attention_core
+
+        pos_hll = pos_bias[0]  # (H, L, L) — shared across the batch
+
+        def layer(carry, layer_p):
+            y = carry
+            attn_in = rms_norm(y, layer_p["ln0"], cfg.layer_norm_epsilon)
+            p = layer_p["self_attn"]
+            q = jnp.einsum(
+                "bld,de->ble", attn_in, p["q"].astype(attn_in.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(attn_in.dtype)
+            k = jnp.einsum(
+                "bld,de->ble", attn_in, p["k"].astype(attn_in.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(attn_in.dtype)
+            v = jnp.einsum(
+                "bld,de->ble", attn_in, p["v"].astype(attn_in.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(attn_in.dtype)
+            attn = t5_attention_core(
+                q, k, v, pos_hll, attention_mask, cfg.num_heads
+            )
+            y = y + jnp.einsum(
+                "ble,ed->bld", attn, p["o"].astype(y.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(y.dtype)
+            ffn_in = rms_norm(y, layer_p["ln1"], cfg.layer_norm_epsilon)
+            y = y + _ffn_block(layer_p["ffn"], ffn_in, cfg)
+            return y, None
+    else:
+        mask_bias = jnp.where(
+            attention_mask[:, None, None, :] > 0, 0.0, NEG_INF
+        ).astype(jnp.float32)
+        bias = pos_bias + mask_bias  # (B, H, L, L)
+
+        def layer(carry, layer_p):
+            y = carry
+            attn_in = rms_norm(y, layer_p["ln0"], cfg.layer_norm_epsilon)
+            y = y + _attn_block(layer_p["self_attn"], attn_in, attn_in,
+                                bias, cfg)
+            ffn_in = rms_norm(y, layer_p["ln1"], cfg.layer_norm_epsilon)
+            y = y + _ffn_block(layer_p["ffn"], ffn_in, cfg)
+            return y, None
 
     if cfg.remat:
         layer = jax.checkpoint(layer)
