@@ -41,7 +41,8 @@ def main() -> None:
     )
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
-    lm_cfg = T5Config.t0_3b(dtype=jnp.bfloat16)
+    lm_cfg = T5Config.t0_3b(dtype=jnp.bfloat16,
+                            fused_encoder_attention=True)
     cfg = VCT0Config(
         lm=lm_cfg,
         mapper=MapperConfig(prefix_size=768, d_model=lm_cfg.d_model,

@@ -99,6 +99,8 @@ local caption_features = {
     "params_dtype": "bfloat16",
     "length_buckets": [128, 256, 512, 1024],
     "remat": false,
+    // fused Pallas encoder attention (1.32x T0-3B encoder at 557 tokens)
+    "fused_attention": true,
   },
   "cache": {
     "default_folder": default_cache_folder,

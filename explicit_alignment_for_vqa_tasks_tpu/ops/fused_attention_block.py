@@ -142,25 +142,28 @@ def attention_core(
     )(q, k, v)
 
 
-def _make_t5_core_kernel(out_dtype):
+def _make_t5_core_kernel(heads_per_block: int, head_dim: int, out_dtype):
     def kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref):
-        q = q_ref[0].astype(jnp.float32)       # (L, dh) — T5: UNSCALED
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s = s + bias_ref[0].astype(jnp.float32)
-        key_mask = mask_ref[0]                  # (L,)
-        s = s + jnp.where(key_mask[None, :] > 0, 0.0, -1e9)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o_ref[0] = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(out_dtype)
+        key_bias = jnp.where(
+            mask_ref[0] > 0, 0.0, -1e9
+        )                                       # (1, L), broadcasts over q
+        for j in range(heads_per_block):
+            sl = slice(j * head_dim, (j + 1) * head_dim)
+            q = q_ref[0, :, sl].astype(jnp.float32)   # (L, dh) — UNSCALED
+            k = k_ref[0, :, sl].astype(jnp.float32)
+            v = v_ref[0, :, sl].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s + bias_ref[j].astype(jnp.float32) + key_bias
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o_ref[0, :, sl] = jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(out_dtype)
 
     return kernel
 
@@ -176,31 +179,41 @@ def t5_attention_core(
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """T5 encoder self-attention core: scores + position bias + mask +
-    softmax + PV, all in VMEM per (head, batch) program.
+    softmax + PV, all in VMEM.
 
-    Grid is ordered (H, B) so each head's bias block is DMA'd once and
-    reused across the batch iterations. Under XLA this attention was 42.6%
-    of T0-3B encoder runtime at 557 tokens (the (B,H,L,L) fp32 bias and
-    score tensors are materialized in HBM every layer); here neither ever
-    leaves VMEM.
+    Each program handles one batch row and a 128-lane group of heads
+    (Mosaic needs the minor block dim divisible by 128; head slicing
+    happens inside the kernel). Grid is ordered (head-groups, batch) so a
+    group's bias blocks are DMA'd once and reused across the batch. Under
+    XLA this attention was 42.6% of T0-3B encoder runtime at 557 tokens
+    (the (B,H,L,L) fp32 bias and score tensors are materialized in HBM
+    every layer); here neither ever leaves VMEM.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     batch, seq, d_model = q.shape
     head_dim = d_model // num_heads
-    qkv_spec = pl.BlockSpec((1, seq, head_dim), lambda h, b: (b, 0, h))
+    # largest divisor of num_heads whose lane width reaches 128 (or covers
+    # the whole width for small test models)
+    max_hpb = min(num_heads, max(1, 128 // head_dim))
+    heads_per_block = next(
+        h for h in range(max_hpb, 0, -1) if num_heads % h == 0
+    )
+    lanes = heads_per_block * head_dim
+    qkv_spec = pl.BlockSpec((1, seq, lanes), lambda h, b: (b, 0, h))
     return pl.pallas_call(
-        _make_t5_core_kernel(q.dtype),
-        grid=(num_heads, batch),
+        _make_t5_core_kernel(heads_per_block, head_dim, q.dtype),
+        grid=(num_heads // heads_per_block, batch),
         in_specs=[
             qkv_spec, qkv_spec, qkv_spec,
-            pl.BlockSpec((1, seq, seq), lambda h, b: (h, 0, 0)),
-            pl.BlockSpec((1, seq), lambda h, b: (b, 0)),
+            pl.BlockSpec((heads_per_block, seq, seq),
+                         lambda h, b: (h, 0, 0)),
+            pl.BlockSpec((1, 1, seq), lambda h, b: (b, 0, 0)),
         ],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct((batch, seq, d_model), q.dtype),
         interpret=interpret,
-    )(q, k, v, pos_bias, mask)
+    )(q, k, v, pos_bias, mask[:, None, :])
 
 
 @functools.partial(

@@ -118,6 +118,10 @@ def build_model_from_config(config: Any) -> Tuple[Any, Any]:
         overrides.setdefault(
             "remat", bool(config.get("tpu", {}).get("remat", False))
         )
+        overrides.setdefault(
+            "fused_encoder_attention",
+            bool(config.get("tpu", {}).get("fused_attention", False)),
+        )
         lm_cfg = base(dtype=compute_dtype, **overrides)
         cfg = VCT0Config.from_model_args(
             model_args, lm_cfg=lm_cfg,
