@@ -254,16 +254,31 @@ class BaseExecutor(MetricsProcessor):
             return metrics_to_log
         self.log_metrics(metrics_to_log)
         table = log_dict.artifacts.get("test_table")
-        if (
-            table
-            and self.multi_logger is not None
-            and self.config.get("args", {}).get("log_prediction_tables")
-        ):
-            self.multi_logger.log_table(
-                f"predictions_epoch{self.current_epoch}"
-                f"_MODE({self.config.mode})",
-                table["columns"], table["rows"],
+        if table and self.config.get("args", {}).get("log_prediction_tables"):
+            if self.multi_logger is not None:
+                self.multi_logger.log_table(
+                    f"predictions_epoch{self.current_epoch}"
+                    f"_MODE({self.config.mode})",
+                    table["columns"], table["rows"],
+                )
+            # always persist a JSON copy (works without wandb)
+            out_dir = self.config.get("results_path") or self.config.get(
+                "log_path", "."
             )
+            try:
+                import json
+                import os
+
+                os.makedirs(out_dir, exist_ok=True)
+                path = os.path.join(
+                    out_dir,
+                    f"prediction_table_epoch{self.current_epoch}.json",
+                )
+                with open(path, "w", encoding="utf-8") as fh:
+                    json.dump(table, fh, default=str)
+                logger.info("wrote prediction table to %s", path)
+            except Exception as exc:
+                logger.warning("could not write prediction table: %s", exc)
         return metrics_to_log
 
     # ------------------------------------------------------------------
