@@ -579,6 +579,10 @@ def t5_forward_loss(
     attention_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Seq2seq CE loss (captioning objective, reference: vct0.py:380-394)."""
+    if cfg.fused_encoder_attention:
+        # the fused Pallas attention is inference-only (no custom VJP);
+        # training always uses the differentiable XLA path
+        cfg = dataclasses.replace(cfg, fused_encoder_attention=False)
     encoder_hidden = t5_encode(
         params, cfg, input_ids=input_ids, inputs_embeds=inputs_embeds,
         attention_mask=attention_mask,
