@@ -136,6 +136,50 @@ class TestCCExtraction:
         assert normalize_caption("  a dog . ") == "a dog ."
 
 
+class TestGenerateCaptions:
+    def test_generate_captions_with_forced_prefix(self):
+        from explicit_alignment_for_vqa_tasks_tpu.data.tokenization import (
+            SimpleTokenizer,
+        )
+        from explicit_alignment_for_vqa_tasks_tpu.models.mappers import (
+            MapperConfig,
+        )
+        from explicit_alignment_for_vqa_tasks_tpu.models.t5 import T5Config
+        from explicit_alignment_for_vqa_tasks_tpu.models.vct0 import (
+            VCT0Config,
+            VCT0Model,
+            init_vct0_params,
+        )
+        from explicit_alignment_for_vqa_tasks_tpu.tools.generate_captions import (
+            generate_captions,
+        )
+
+        lm = T5Config.small_test()
+        cfg = VCT0Config(
+            lm=lm,
+            mapper=MapperConfig(mapping_type="mlp", prefix_size=8,
+                                d_model=lm.d_model, prefix_length=2,
+                                clip_length=2),
+        )
+        params = init_vct0_params(jax.random.PRNGKey(0), cfg,
+                                  param_dtype=jnp.float32)
+        model = VCT0Model(cfg, params)
+        tokenizer = SimpleTokenizer()
+        rng = np.random.default_rng(0)
+        embeddings = rng.standard_normal((3, 8)).astype(np.float32)
+        captions = generate_captions(
+            model, tokenizer, embeddings, max_new_tokens=4, batch_size=2
+        )
+        assert len(captions) == 3
+        assert all(c.startswith("A picture of") for c in captions)
+
+        plain = generate_captions(
+            model, tokenizer, embeddings, forced_prefix=None,
+            max_new_tokens=4, batch_size=2,
+        )
+        assert len(plain) == 3
+
+
 class TestAnalysis:
     def test_answer_length_analysis(self, tmp_path):
         from explicit_alignment_for_vqa_tasks_tpu.tools.\
