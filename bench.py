@@ -81,6 +81,11 @@ def bench_vision(cfg_name: str, batch_size: int, k_batches: int = 4,
 def main() -> None:
     import jax
 
+    from explicit_alignment_for_vqa_tasks_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     device = jax.devices()[0]
     print(f"benchmarking on {device}", file=sys.stderr)
 

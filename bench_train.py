@@ -35,6 +35,11 @@ def main() -> None:
         vct0_caption_loss,
     )
 
+    from explicit_alignment_for_vqa_tasks_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     lm_cfg = T5Config.t0_3b(dtype=jnp.bfloat16)
     cfg = VCT0Config(

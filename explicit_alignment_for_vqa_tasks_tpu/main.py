@@ -118,7 +118,11 @@ def initialization(args: argparse.Namespace):
 def main(config) -> None:
     """Orchestration (reference: src/main.py:69-197)."""
     from .parallel.multihost import maybe_initialize_distributed
+    from .utils.compilation_cache import enable_compilation_cache
 
+    enable_compilation_cache(
+        config.get("tpu", {}).get("compilation_cache_dir", "")
+    )
     maybe_initialize_distributed()
     set_seed(int(config.get("seed", 2021)))
 
