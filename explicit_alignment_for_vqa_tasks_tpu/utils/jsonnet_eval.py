@@ -114,6 +114,22 @@ def _split_statements(src: str) -> List[str]:
 _IDENT_CHARS = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
 _KEYWORD_MAP = {"true": "True", "false": "False", "null": "None"}
 
+# jsonnet constructs OUTSIDE the supported subset. These must hard-error:
+# a best-effort transform could silently produce a valid-but-wrong Python
+# expression (e.g. a comprehension, a `self` reference, an if/else).
+_UNSUPPORTED_KEYWORDS = frozenset({
+    "function", "self", "super", "assert", "error", "if", "then", "else",
+    "for", "in", "tailstrict", "local", "importstr", "importbin",
+})
+
+
+def _unsupported(construct: str, context: str) -> JsonnetError:
+    return JsonnetError(
+        f"unsupported jsonnet construct {construct!r} (only the documented "
+        f"subset is evaluated; use the real jsonnet package for full "
+        f"language support) near: {context[:60]!r}"
+    )
+
 
 def _transform_expr(src: str) -> str:
     """Quote bare object keys; map jsonnet keywords / std. / import to Python."""
@@ -148,6 +164,14 @@ def _transform_expr(src: str) -> str:
             k = j
             while k < n and src[k] in " \t":
                 k += 1
+            if (
+                k < n
+                and src[k] == ":"
+                and k + 1 < n
+                and src[k + 1] == ":"
+                and last_sig in ("{", ",", "")
+            ):
+                raise _unsupported("hidden field '::'", src[i:])
             is_key = (
                 k < n
                 and src[k] == ":"
@@ -179,11 +203,23 @@ def _transform_expr(src: str) -> str:
             elif ident in _KEYWORD_MAP:
                 out.append(_KEYWORD_MAP[ident])
                 last_sig = "e"
+            elif ident in _UNSUPPORTED_KEYWORDS:
+                raise _unsupported(ident, src[i:])
             else:
                 out.append(ident)
                 last_sig = ident[-1]
             i = j
             continue
+        if ch == "$":
+            raise _unsupported("'$' (root reference)", src[i:])
+        if ch == "|" and i + 2 < n and src[i + 1] == "|" and src[i + 2] == "|":
+            raise _unsupported("'|||' text block", src[i:])
+        if ch == "|" and i + 1 < n and src[i + 1] == "|":
+            raise _unsupported("'||' operator", src[i:])
+        if ch == "&" and i + 1 < n and src[i + 1] == "&":
+            raise _unsupported("'&&' operator", src[i:])
+        if ch == "!" and not (i + 1 < n and src[i + 1] == "="):
+            raise _unsupported("'!' operator", src[i:])
         out.append(ch)
         if not ch.isspace():
             last_sig = ch
@@ -270,6 +306,13 @@ class _Std:
     @staticmethod
     def get(obj: dict, key: str, default: Any = None) -> Any:
         return obj.get(key, default)
+
+    def __getattr__(self, name: str) -> Any:
+        raise JsonnetError(
+            f"unsupported std function: std.{name} (supported: "
+            "mergePatch, extVar, length, join, format, toString, "
+            "objectHas, get)"
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,112 @@
+"""Negative + differential tests for the jsonnet-subset evaluator.
+
+The evaluator must HARD-ERROR (JsonnetError) on any jsonnet construct
+outside its documented subset rather than best-effort transforming it
+into valid-but-wrong Python (round-1 review finding). When the real
+`_jsonnet` package is importable, shipped configs are differential-tested
+against it.
+"""
+
+import json
+import os
+
+import pytest
+
+from explicit_alignment_for_vqa_tasks_tpu.utils.jsonnet_eval import (
+    JsonnetError,
+    evaluate_file,
+    evaluate_snippet,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+UNSUPPORTED_SNIPPETS = [
+    # functions
+    "local f = function(x) x + 1; { a: f(1) }",
+    "local f(x) = x + 1; { a: f(1) }",
+    # comprehensions
+    "{ a: [x for x in [1, 2, 3]] }",
+    "{ [k]: 1 for k in ['a', 'b'] }",
+    # conditionals
+    "{ a: if true then 1 else 2 }",
+    # self / $ / super
+    "{ a: 1, b: self.a }",
+    "{ a: { b: $.c }, c: 2 }",
+    "{ a: 1 } + { b: super.a }",
+    # hidden fields
+    "{ a:: 1, b: 2 }",
+    # text blocks
+    "{ a: |||\n  text\n||| }",
+    # boolean operators
+    "{ a: true && false }",
+    "{ a: true || false }",
+    "{ a: !true }",
+    # assert / error
+    "assert true; { a: 1 }",
+    "{ a: error 'boom' }",
+    # nested local inside an expression
+    "{ a: local x = 1; x }",
+    # importstr
+    "{ a: importstr 'foo.txt' }",
+]
+
+
+@pytest.mark.parametrize("src", UNSUPPORTED_SNIPPETS)
+def test_unsupported_constructs_hard_error(src):
+    with pytest.raises(JsonnetError):
+        evaluate_snippet(src)
+
+
+def test_unsupported_std_function_errors():
+    with pytest.raises(JsonnetError, match="unsupported std function"):
+        evaluate_snippet("{ a: std.map(1, 2) }")
+
+
+def test_error_message_names_the_construct():
+    with pytest.raises(JsonnetError, match="function"):
+        evaluate_snippet("local f = function(x) x; { a: 1 }")
+    with pytest.raises(JsonnetError, match=r"\$"):
+        evaluate_snippet("{ a: $.b }")
+
+
+def test_supported_subset_still_works():
+    result = evaluate_snippet(
+        "local base = { a: 1, nested: { x: 'y' } };\n"
+        "std.mergePatch(base, { a: 2, b: [1, 2] + [3] })"
+    )
+    assert result == {"a": 2, "nested": {"x": "y"}, "b": [1, 2, 3]}
+
+
+def test_keywords_allowed_in_key_position():
+    # jsonnet allows keyword-looking bare keys; only expression positions
+    # are restricted.
+    result = evaluate_snippet("{ for: 1, if: 2, self: 3 }")
+    assert result == {"for": 1, "if": 2, "self": 3}
+
+
+def test_keywords_allowed_inside_strings():
+    result = evaluate_snippet("{ a: 'if self function || !x' }")
+    assert result == {"a": "if self function || !x"}
+
+
+SHIPPED_CONFIGS = [
+    "configs/vqa2/base_env.jsonnet",
+    "configs/vqa2/few_shot_vqa_hotpotqa.jsonnet",
+    "configs/vqa2/few_shot_vqa_frozen.jsonnet",
+    "configs/vqa2/clip_cap.jsonnet",
+    "configs/conceptual_captions/base_env.jsonnet",
+    "configs/conceptual_captions/conceptual_captions.jsonnet",
+    "configs/conceptual_captions/conceptual_captions_debug.jsonnet",
+]
+
+
+@pytest.mark.parametrize("rel", SHIPPED_CONFIGS)
+def test_differential_vs_real_jsonnet(rel):
+    """When the real jsonnet C extension is installed, our subset evaluator
+    must agree with it bit-for-bit on every shipped config."""
+    _jsonnet = pytest.importorskip("_jsonnet")
+    path = os.path.join(REPO, rel)
+    theirs = json.loads(_jsonnet.evaluate_file(path))
+    ours = json.loads(json.dumps(evaluate_file(path)))
+    assert ours == theirs
