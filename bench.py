@@ -1,11 +1,14 @@
 """Throughput benchmark: CLIP ViT image encodings/sec/chip.
 
-Headline metric: ViT-B/32 @ 224px encodings/sec on one chip — the CLIP
-model of the reference's default VQA2 config (reference:
-configs/vqa2/base_env.jsonnet clip_embeddings paths name
-``clip-vit-base-patch32``); target >= 5,000/s/chip (BASELINE.md).
-ViT-L/14@336px (the RICES/report model, ~350 GFLOP/image) is reported to
-stderr as a secondary metric.
+Headline metric: ViT-B/32 @ 224px encodings/sec on one chip; target
+>= 5,000/s/chip (BASELINE.md). Note the reference's ACTIVE VQA2 config
+uses ViT-L/14@336px (reference: configs/vqa2/base_env.jsonnet:39-40;
+the ViT-B/32 path there is commented out at :41) — but 5k/s on ViT-L
+(~0.35 TFLOP/image) exceeds one v5e's measured 128 TFLOP/s dense
+ceiling by ~1.4x, so ViT-B/32 is the model the 5k target can refer to.
+ViT-L/14@336 is reported as a first-class secondary metric in the same
+JSON line, and both carry ``pct_of_measured_ceiling`` (model FLOPs/s
+achieved vs the chip's measured 128 TFLOP/s bf16 dense ceiling).
 
 Methodology notes (verified on the axon-tunnelled v5e):
   * inputs are generated ON device — host->device transfer of GB-scale
@@ -27,6 +30,21 @@ import sys
 import time
 
 
+# Measured bf16 dense ceiling of this v5e chip (ViT-shaped matmul stack,
+# measured in round 1 — see PARITY.md); used for MFU-style reporting.
+MEASURED_CEILING_TFLOPS = 128.0
+
+
+def vit_flops_per_image(cfg) -> float:
+    """Analytic forward FLOPs/image (multiply-add = 2 FLOPs)."""
+    n = (cfg.image_size // cfg.patch_size) ** 2 + 1  # tokens incl. CLS
+    d = cfg.width
+    per_layer = 24 * n * d * d + 4 * n * n * d  # qkvo+mlp, scores+values
+    patch_embed = 2 * n * (cfg.patch_size ** 2 * 3) * d
+    proj = 2 * d * cfg.projection_dim
+    return float(cfg.num_layers * per_layer + patch_embed + proj)
+
+
 def bench_vision(cfg_name: str, batch_size: int, k_batches: int = 4,
                  trials: int = 3, use_pallas: bool = False) -> dict:
     import jax
@@ -41,6 +59,7 @@ def bench_vision(cfg_name: str, batch_size: int, k_batches: int = 4,
     cfg = getattr(CLIPVisionConfig, cfg_name)(
         dtype=jnp.bfloat16, fast_attention=True, fused_attention=True
     )
+    flops_per_image = vit_flops_per_image(cfg)
     params = init_clip_vision_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
 
     @jax.jit
@@ -71,10 +90,15 @@ def bench_vision(cfg_name: str, batch_size: int, k_batches: int = 4,
         float(encode_many(params, stacked))  # fetch forces execution
         dt = time.perf_counter() - t0
         best = max(best, k_batches * batch_size / dt)
+    achieved_tflops = best * flops_per_image / 1e12
     return {
         "config": cfg_name,
         "batch_size": batch_size,
         "images_per_s": best,
+        "model_tflops_per_image": flops_per_image / 1e12,
+        "achieved_tflops_per_s": achieved_tflops,
+        "pct_of_measured_ceiling": 100.0 * achieved_tflops
+        / MEASURED_CEILING_TFLOPS,
     }
 
 
@@ -90,24 +114,45 @@ def main() -> None:
     print(f"benchmarking on {device}", file=sys.stderr)
 
     headline = bench_vision("vit_b_32", batch_size=1024)
-    print(f"ViT-B/32@224: {headline['images_per_s']:.0f} img/s",
-          file=sys.stderr)
+    print(
+        f"ViT-B/32@224: {headline['images_per_s']:.0f} img/s "
+        f"({headline['pct_of_measured_ceiling']:.1f}% of ceiling)",
+        file=sys.stderr,
+    )
 
+    secondary = None
     try:
         secondary = bench_vision("vit_l_14_336", batch_size=128)
-        print(f"ViT-L/14@336: {secondary['images_per_s']:.0f} img/s",
-              file=sys.stderr)
+        print(
+            f"ViT-L/14@336: {secondary['images_per_s']:.0f} img/s "
+            f"({secondary['pct_of_measured_ceiling']:.1f}% of ceiling)",
+            file=sys.stderr,
+        )
     except Exception as exc:  # pragma: no cover
         print(f"ViT-L/14@336 bench skipped: {exc}", file=sys.stderr)
 
     baseline = 5000.0  # BASELINE.md target: >=5k encodings/s/chip on v5e
     value = headline["images_per_s"]
-    print(json.dumps({
+    out = {
         "metric": "clip_vit_b32_image_encodings_per_sec_per_chip",
         "value": round(value, 1),
         "unit": "images/s",
         "vs_baseline": round(value / baseline, 3),
-    }))
+        "pct_of_measured_ceiling": round(
+            headline["pct_of_measured_ceiling"], 1
+        ),
+        "measured_ceiling_tflops": MEASURED_CEILING_TFLOPS,
+    }
+    if secondary is not None:
+        out["secondary"] = {
+            "metric": "clip_vit_l14_336_image_encodings_per_sec_per_chip",
+            "value": round(secondary["images_per_s"], 1),
+            "unit": "images/s",
+            "pct_of_measured_ceiling": round(
+                secondary["pct_of_measured_ceiling"], 1
+            ),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
