@@ -42,6 +42,10 @@ class VCT0Config:
     lm: t5_lib.T5Config
     mapper: MapperConfig
     freeze_lm: bool = True
+    # id of <extra_id_0>; <extra_id_i> = sentinel_base - i. 32099 for the
+    # real T5/T0 vocabulary; tokenizers with other vocab sizes (e.g. the
+    # tiny committed sentencepiece-style fixture) override this.
+    sentinel_base: int = T5_SENTINEL_BASE
 
     @property
     def prefix_length(self) -> int:
@@ -64,7 +68,10 @@ class VCT0Config:
             ),
             num_layers=model_args.get("num_layers", 8),
         )
-        return cls(lm=lm, mapper=mapper, freeze_lm=freeze_lm)
+        return cls(
+            lm=lm, mapper=mapper, freeze_lm=freeze_lm,
+            sentinel_base=model_args.get("sentinel_base", T5_SENTINEL_BASE),
+        )
 
 
 def init_vct0_params(
@@ -143,6 +150,7 @@ def _generate_main(
     joint, joint_mask = insert_prefix_into_input(
         tokens, text_embeds, prefix_proj.astype(text_embeds.dtype), mask,
         prefix_length=cfg.prefix_length, num_prefixes=num_prefixes,
+        base_id=cfg.sentinel_base,
     )
     hidden = t5_lib.t5_encode(
         lm_params, cfg.lm, inputs_embeds=joint, attention_mask=joint_mask
@@ -207,6 +215,7 @@ def _generate_forced(
     joint, joint_mask = insert_prefix_into_input(
         tokens, text_embeds, prefix_proj[:, -1:].astype(text_embeds.dtype),
         mask, prefix_length=cfg.prefix_length, num_prefixes=1,
+        base_id=cfg.sentinel_base,
     )
     hidden = t5_lib.t5_encode(
         lm_params, cfg.lm, inputs_embeds=joint, attention_mask=joint_mask
@@ -241,7 +250,7 @@ def _generate_one_at_a_time(
                 seg_tokens, text_embeds,
                 prefix_proj[:, i:i + 1].astype(text_embeds.dtype), seg_mask,
                 prefix_length=cfg.prefix_length, num_prefixes=1,
-                base_id=T5_SENTINEL_BASE - i,
+                base_id=cfg.sentinel_base - i,
             )
             hidden = t5_lib.t5_encode(
                 lm_params, cfg.lm, inputs_embeds=joint,

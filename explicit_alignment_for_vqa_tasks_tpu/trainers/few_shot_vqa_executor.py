@@ -41,6 +41,25 @@ class FewShotVQAExecutor(BaseExecutor):
         # (few_shot_vqa_executor.py:62)
         if getattr(self.tokenizer, "bos_token", None) is None:
             self.tokenizer.bos_token = self.tokenizer.pad_token
+        # the prefix-splice op keys on <extra_id_i> = sentinel_base - i;
+        # a static-shape op cannot assert this under jit, so validate the
+        # tokenizer/model agreement host-side once at build time
+        model_cfg = getattr(self.model, "cfg", None)
+        sentinel_base = getattr(model_cfg, "sentinel_base", None)
+        if sentinel_base is not None:
+            try:
+                tok_base = self.tokenizer.convert_tokens_to_ids(
+                    "<extra_id_0>"
+                )
+            except Exception:
+                tok_base = None
+            if tok_base is not None and tok_base != sentinel_base:
+                raise ValueError(
+                    f"tokenizer maps <extra_id_0> to id {tok_base} but the "
+                    f"model's sentinel_base is {sentinel_base}; set "
+                    "model_config.model_args.sentinel_base to match the "
+                    "tokenizer or prefixes will be silently dropped"
+                )
 
     def training_step(self, batch: AttrDict, batch_idx: int):
         return None

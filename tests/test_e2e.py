@@ -100,6 +100,21 @@ def write_vqa_fixtures(tmp_path, n_train_imgs=6, n_val_imgs=4):
     )
 
 
+def use_fixture_tokenizer(config):
+    """Switch a test config from SimpleTokenizer to the committed REAL
+    subword tokenizer fixture (T5TokenizerFast, Unigram+Metaspace, T5
+    special-token layout — tests/fixtures/tiny_t5_tokenizer). The
+    prefix-splice sentinel base follows the fixture's <extra_id_0> id."""
+    fixture_dir = os.path.join(REPO_ROOT, "tests", "fixtures",
+                               "tiny_t5_tokenizer")
+    with open(os.path.join(fixture_dir, "fixture_meta.json")) as fh:
+        meta = json.load(fh)
+    config.model_config.TokenizerClass = "T5TokenizerFast"
+    config.model_config.TokenizerModelVersion = fixture_dir
+    config.model_config.model_args.sentinel_base = meta["sentinel_base"]
+    return config
+
+
 def make_test_config(tmp_path, fixtures, **extra_additional):
     args = argparse.Namespace(
         config="configs/vqa2/few_shot_vqa_hotpotqa.jsonnet",
@@ -177,9 +192,12 @@ def build_executor(config):
 
 
 class TestFewShotVQAEndToEnd:
-    def test_flagship_eval_path(self, tmp_path):
+    @pytest.mark.parametrize("tokenizer", ["simple", "sentencepiece"])
+    def test_flagship_eval_path(self, tmp_path, tokenizer):
         fixtures = write_vqa_fixtures(tmp_path)
         config = make_test_config(tmp_path, fixtures)
+        if tokenizer == "sentencepiece":
+            config = use_fixture_tokenizer(config)
         executor = build_executor(config)
         # save + load a checkpoint like a real run
         save_checkpoint(config.saved_model_path, 0,
@@ -225,12 +243,18 @@ class TestFewShotVQAEndToEnd:
         metrics = executor.test()
         assert "test_evaluation/accuracy_overall" in metrics
 
-    def test_forced_decoder_prefix_eval(self, tmp_path):
+    @pytest.mark.parametrize("tokenizer", ["simple", "sentencepiece"])
+    def test_forced_decoder_prefix_eval(self, tmp_path, tokenizer):
         """decoder_generation mode: a left-padded decoder prompt is
         teacher-forced before greedy continuation
-        (reference: vct0.py:466-482 + module_parser.py:397-399)."""
+        (reference: vct0.py:466-482 + module_parser.py:397-399).
+        Parameterized over the whitespace SimpleTokenizer AND the real
+        subword fixture — left-padding side switching is exactly where a
+        real tokenizer can diverge."""
         fixtures = write_vqa_fixtures(tmp_path)
         config = make_test_config(tmp_path, fixtures)
+        if tokenizer == "sentencepiece":
+            config = use_fixture_tokenizer(config)
         config.model_config.decoder_input_modules = AttrDict(
             module_list=[
                 {"type": "QuestionInput", "option": "default",
