@@ -111,6 +111,11 @@ class DataLoaderConceptualCaptions(DataLoaderWrapper):
             collate_fn=self.collate_fn,
             shuffle=True,
             seed=self.config.seed,
+            # reference CC loader: 8 workers
+            # (data_loader_conceptual_captions.py:119)
+            num_workers=self.config.data_loader.additional.get(
+                "num_workers", 8
+            ),
         )
         self.test_dataset = cc.val
         self.test_dataloader = BatchIterator(
@@ -118,6 +123,9 @@ class DataLoaderConceptualCaptions(DataLoaderWrapper):
             batch_size=self.config.valid.batch_size,
             collate_fn=self.collate_fn,
             shuffle=False,
+            num_workers=self.config.data_loader.additional.get(
+                "num_workers_test", 4
+            ),
         )
         logger.info(
             "[Data Statistics] train batches %d / test batches %d",

@@ -298,6 +298,11 @@ class DataLoaderVQA2(DataLoaderWrapper):
                 collate_fn=self.train_dataset.collate_fn,
                 shuffle=True,
                 seed=self.config.seed,
+                # reference used 8 fork workers (data_loader_vqa2.py:529);
+                # here a GIL-releasing tokenize collate scales over threads
+                num_workers=self.config.data_loader.additional.get(
+                    "num_workers", 8
+                ),
             )
             logger.info(
                 "[Data Statistics] train batches: %d",
@@ -312,6 +317,10 @@ class DataLoaderVQA2(DataLoaderWrapper):
             batch_size=self.config.valid.batch_size,
             collate_fn=self.test_dataset.collate_fn,
             shuffle=False,
+            # reference test loader: 4 workers (data_loader_vqa2.py:563)
+            num_workers=self.config.data_loader.additional.get(
+                "num_workers_test", 4
+            ),
         )
         logger.info(
             "[Data Statistics] test batches: %d", len(self.test_dataloader)

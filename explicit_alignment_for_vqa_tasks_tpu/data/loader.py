@@ -1,11 +1,13 @@
-"""Host batching: samplers, collation, background prefetch.
+"""Host batching: samplers, collation, parallel collate + prefetch.
 
 Replaces the reference's torch DataLoader + multi-worker setup
 (reference: src/data_loader_manager/data_loader_vqa2.py:521-564) with a
-torch-free iterator. Parallelism is a background prefetch thread pipelining
-host-side collation (tokenization, numpy assembly) with device compute —
-on TPU the device step dominates, so one collation thread keeps up where
-torch needed 8 fork workers.
+torch-free iterator. With ``num_workers <= 1`` a single background thread
+pipelines host-side collation (tokenization, numpy assembly) with device
+compute; with ``num_workers > 1`` a thread pool collates several batches
+concurrently and yields them in order (HF fast tokenizers release the GIL
+in their Rust core, so tokenization-heavy collate scales across threads
+without fork workers — forking a process holding a TPU client is unsafe).
 
 For static device shapes the final partial batch is padded by repeating its
 last sample; a boolean ``sample_valid`` mask marks the real rows so eval
@@ -15,6 +17,7 @@ check.
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 from typing import Any, Callable, Iterator, List, Sequence
@@ -35,6 +38,7 @@ class BatchIterator:
         drop_last: bool = False,
         pad_last_batch: bool = True,
         prefetch: int = 2,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -44,6 +48,7 @@ class BatchIterator:
         self.drop_last = drop_last
         self.pad_last_batch = pad_last_batch
         self.prefetch = prefetch
+        self.num_workers = num_workers
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -100,6 +105,10 @@ class BatchIterator:
                 yield self._make_batch(idx, n_valid(i, idx))
             return
 
+        if self.num_workers > 1:
+            yield from self._iter_pool(batches, n_valid)
+            return
+
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -132,6 +141,29 @@ class BatchIterator:
                 except queue.Empty:
                     break
             thread.join(timeout=5)
+
+    def _iter_pool(self, batches, n_valid) -> Iterator[Any]:
+        """Pool collate: up to ``num_workers`` batches collated
+        concurrently, yielded in order; in-flight futures bounded by
+        ``num_workers + prefetch`` so memory stays flat."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        window = self.num_workers + max(self.prefetch, 0)
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending: "collections.deque" = collections.deque()
+            it = enumerate(batches)
+            try:
+                for i, idx in it:
+                    pending.append(
+                        pool.submit(self._make_batch, idx, n_valid(i, idx))
+                    )
+                    if len(pending) >= window:
+                        yield pending.popleft().result()
+                while pending:
+                    yield pending.popleft().result()
+            finally:
+                for fut in pending:
+                    fut.cancel()
 
 
 class ListDataset:

@@ -265,20 +265,25 @@ class ModuleParser:
         return list(tpu_cfg.get("length_buckets", [])) or None
 
     def _tokenize_bucketed(
-        self, texts: List[str], tokenizer: Any, max_length: int
+        self, texts: List[str], tokenizer: Any, max_length: int,
+        padding_side: Optional[str] = None,
     ) -> Dict[str, np.ndarray]:
+        # padding_side rides as a CALL kwarg rather than mutating
+        # tokenizer state: collate runs on a thread pool and HF fast
+        # tokenizers share Rust state ("Already borrowed" under races)
         enc = tokenizer(
             texts,
             padding="longest",
             max_length=max_length,
             truncation=True,
             return_tensors="np",
+            **({"padding_side": padding_side} if padding_side else {}),
         )
         input_ids = np.asarray(enc["input_ids"])
         attention_mask = np.asarray(enc["attention_mask"])
         target = pick_bucket(input_ids.shape[-1], self._length_buckets(),
                              max_length)
-        side = getattr(tokenizer, "padding_side", "right")
+        side = padding_side or getattr(tokenizer, "padding_side", "right")
         pad_id = tokenizer.pad_token_id
         if pad_id is None:
             pad_id = 0
@@ -300,8 +305,9 @@ class ModuleParser:
         max_len = additional.max_source_length
         task_prefix = ""
 
+        padding_side = None
         if module.option == "decoder_generation":
-            self.tokenizer.padding_side = "left"
+            padding_side = "left"
             task_prefix = "<pad>"
 
         multi_sequence = (
@@ -311,13 +317,14 @@ class ModuleParser:
         )
         if multi_sequence:
             flat = [seg for seqs in text_sequences for seg in seqs]
-            encoding = self._tokenize_bucketed(flat, self.tokenizer, max_len)
+            encoding = self._tokenize_bucketed(
+                flat, self.tokenizer, max_len, padding_side=padding_side
+            )
         else:
             encoding = self._tokenize_bucketed(
                 [task_prefix + seq for seq in text_sequences],
-                self.tokenizer, max_len,
+                self.tokenizer, max_len, padding_side=padding_side,
             )
-        self.tokenizer.padding_side = "right"
 
         if module.option == "generation":
             for key, value in encoding.items():

@@ -15,6 +15,7 @@ reproduces the T5 conventions the pipeline depends on:
 
 from __future__ import annotations
 
+import copy
 import re
 from typing import Any, Dict, List, Optional, Sequence, Union
 
@@ -133,6 +134,7 @@ class SimpleTokenizer:
         truncation: bool = False,
         pad_to_multiple_of: Optional[int] = None,
         return_tensors: Optional[str] = "np",
+        padding_side: Optional[str] = None,
         **_: Any,
     ) -> Encoding:
         single = isinstance(texts, str)
@@ -153,12 +155,13 @@ class SimpleTokenizer:
         if pad_to_multiple_of:
             target = -(-target // pad_to_multiple_of) * pad_to_multiple_of
 
+        side = padding_side or self.padding_side
         input_ids, attention_mask = [], []
         for ids in seqs:
             n_pad = target - len(ids)
             pads = [self.pad_token_id] * n_pad
             ones, zeros = [1] * len(ids), [0] * n_pad
-            if self.padding_side == "left":
+            if side == "left":
                 input_ids.append(pads + ids)
                 attention_mask.append(zeros + ones)
             else:
@@ -197,6 +200,57 @@ class SimpleTokenizer:
         return [self._intern(t) for t in tokens]
 
 
+class ThreadSafeTokenizer:
+    """Thread-local copies of an HF *fast* tokenizer.
+
+    Fast tokenizers mutate shared Rust state on every call
+    (``set_truncation_and_padding``) and raise ``RuntimeError: Already
+    borrowed`` when collate threads call them concurrently. Each thread
+    transparently gets its own deepcopy. Attribute writes and
+    ``add_special_tokens`` (the only mutators used at setup time, e.g.
+    ``tokenizer.pad_token = tokenizer.eos_token``) broadcast to the base
+    and every existing copy so all threads observe them.
+    """
+
+    def __init__(self, base: Any):
+        d = object.__getattribute__(self, "__dict__")
+        d["_base"] = base
+        d["_local"] = __import__("threading").local()
+        d["_copies"] = []
+        d["_lock"] = __import__("threading").Lock()
+
+    def _tok(self) -> Any:
+        tok = getattr(self._local, "tok", None)
+        if tok is None:
+            with self._lock:
+                tok = copy.deepcopy(self._base)
+                self._copies.append(tok)
+            self._local.tok = tok
+        return tok
+
+    def __getattr__(self, name: str) -> Any:
+        return getattr(self._tok(), name)
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        with self._lock:
+            setattr(self._base, name, value)
+            for tok in self._copies:
+                setattr(tok, name, value)
+
+    def add_special_tokens(self, *args: Any, **kwargs: Any) -> int:
+        with self._lock:
+            added = self._base.add_special_tokens(*args, **kwargs)
+            for tok in self._copies:
+                tok.add_special_tokens(*args, **kwargs)
+        return added
+
+    def __call__(self, *args: Any, **kwargs: Any) -> Any:
+        return self._tok()(*args, **kwargs)
+
+    def __len__(self) -> int:
+        return len(self._tok())
+
+
 def load_tokenizer(
     tokenizer_class: str, model_version: str, special_tokens: Optional[Dict] = None
 ) -> Any:
@@ -219,4 +273,6 @@ def load_tokenizer(
             getattr(tokenizer, "additional_special_tokens", [])
         ) + list(special_tokens.get("additional_special_tokens", []))
         tokenizer.add_special_tokens(merged)
+    if getattr(tokenizer, "is_fast", False):
+        tokenizer = ThreadSafeTokenizer(tokenizer)
     return tokenizer

@@ -66,6 +66,51 @@ class TestBatchIterator:
         with pytest.raises(RuntimeError, match="boom"):
             list(it)
 
+    def test_pool_matches_sync(self):
+        """num_workers > 1 (thread-pool collate) must yield the SAME
+        batches in the SAME order as synchronous iteration, including the
+        padded final batch and valid masks."""
+        ds = ListDataset(list(range(23)))
+        sync = list(BatchIterator(
+            ds, batch_size=5, collate_fn=collate, prefetch=0))
+        pool = list(BatchIterator(
+            ds, batch_size=5, collate_fn=collate, prefetch=2,
+            num_workers=4))
+        assert [b.rows for b in sync] == [b.rows for b in pool]
+        for s, p in zip(sync, pool):
+            assert s.sample_valid.tolist() == p.sample_valid.tolist()
+
+    def test_pool_with_shuffle_deterministic(self):
+        ds = ListDataset(list(range(32)))
+        a = [b.rows for b in BatchIterator(
+            ds, batch_size=8, collate_fn=collate, shuffle=True, seed=3,
+            num_workers=3)]
+        b = [b.rows for b in BatchIterator(
+            ds, batch_size=8, collate_fn=collate, shuffle=True, seed=3,
+            prefetch=0)]
+        assert a == b
+
+    def test_pool_propagates_errors(self):
+        ds = ListDataset(list(range(20)))
+
+        def bad_collate(samples):
+            if 13 in samples:
+                raise RuntimeError("boom13")
+            return collate(samples)
+
+        it = BatchIterator(ds, batch_size=4, collate_fn=bad_collate,
+                           num_workers=3)
+        with pytest.raises(RuntimeError, match="boom13"):
+            list(it)
+
+    def test_pool_early_break_cleans_up(self):
+        ds = ListDataset(list(range(100)))
+        it = BatchIterator(ds, batch_size=4, collate_fn=collate,
+                           num_workers=4)
+        for i, _ in enumerate(it):
+            if i == 2:
+                break  # must not hang or leak the pool
+
 
 class TestMetricsHistory:
     def test_auto_extrema(self):

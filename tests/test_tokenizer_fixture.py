@@ -82,6 +82,50 @@ def test_decode_roundtrip(tok):
     assert "what color is the cat?" in text
 
 
+def test_thread_safety_under_concurrent_collate(tok):
+    """HF fast tokenizers mutate shared Rust state per call and raise
+    'Already borrowed' under concurrent threads (observed in the round-2
+    CLI run with pool collate). load_tokenizer wraps fast tokenizers in
+    ThreadSafeTokenizer (thread-local copies) — hammer it from many
+    threads with ALTERNATING truncation/padding settings (what forces the
+    Rust-side mutation) and distinct padding sides."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def work(i):
+        side = "left" if i % 2 else "right"
+        enc = tok(
+            [f"what color is object {i} ?", "a much longer question about "
+             "the picture that will certainly need truncation handling"],
+            padding="longest", max_length=8 + (i % 3) * 4, truncation=True,
+            return_tensors="np", padding_side=side,
+        )
+        ids = enc["input_ids"]
+        if side == "left":
+            assert ids[0][0] == tok.pad_token_id or ids[0][-1] != 0
+        return ids.shape
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        shapes = list(pool.map(work, range(200)))
+    assert len(shapes) == 200
+
+
+def test_setup_mutations_visible_across_threads(tok):
+    """Setup-time attribute writes (e.g. pad=eos in ClipCapExecutor) must
+    be observed by copies in other threads."""
+    import threading
+
+    tok.bos_token = tok.pad_token
+    seen = {}
+
+    def read():
+        seen["bos"] = tok.bos_token
+
+    t = threading.Thread(target=read)
+    t.start()
+    t.join()
+    assert seen["bos"] == tok.pad_token
+
+
 def test_regeneration_is_deterministic(tmp_path):
     from explicit_alignment_for_vqa_tasks_tpu.tools.make_tokenizer_fixture \
         import save_fixture
