@@ -18,6 +18,9 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--caption_len", type=int, default=32)
     parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--fused_attention", type=int, default=0,
+                        help="enable the fused Pallas encoder attention "
+                             "(differentiable via t5_attention_core_vjp)")
     args = parser.parse_args()
 
     import jax
@@ -41,7 +44,10 @@ def main() -> None:
 
     enable_compilation_cache()
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
-    lm_cfg = T5Config.t0_3b(dtype=jnp.bfloat16)
+    lm_cfg = T5Config.t0_3b(
+        dtype=jnp.bfloat16,
+        fused_encoder_attention=bool(args.fused_attention),
+    )
     cfg = VCT0Config(
         lm=lm_cfg,
         mapper=MapperConfig(prefix_size=768, d_model=lm_cfg.d_model,
@@ -90,7 +96,8 @@ def main() -> None:
         "value": round(examples_per_s, 2),
         "unit": "examples/s",
         "config": {"batch": args.batch, "caption_len": args.caption_len,
-                   "prefix_length": 10, "final_loss": round(loss, 3)},
+                   "prefix_length": 10, "final_loss": round(loss, 3),
+                   "fused_attention": bool(args.fused_attention)},
     }))
 
 

@@ -54,7 +54,8 @@ class T5Config:
     # (ops/fused_attention_block.py::t5_attention_core): position bias and
     # scores stay in VMEM instead of materializing (B,H,L,L) fp32 tensors
     # per layer — under XLA those cost 42.6% of T0-3B encoder runtime at
-    # 557 tokens. Inference-path optimization (no custom vjp).
+    # 557 tokens. Differentiable via t5_attention_core_vjp (fused forward,
+    # recompute backward), so training paths may enable it too.
     fused_encoder_attention: bool = False
 
     @classmethod
@@ -280,8 +281,12 @@ def t5_encode(
     input_ids: Optional[jax.Array] = None,
     inputs_embeds: Optional[jax.Array] = None,
     attention_mask: Optional[jax.Array] = None,
+    collect_hiddens: bool = False,
 ) -> jax.Array:
-    """Returns encoder hidden states (B, L, D)."""
+    """Returns encoder hidden states (B, L, D). With ``collect_hiddens``
+    returns ``(final, per_layer (num_layers, B, L, D))`` — used by the
+    bf16 drift study (tools/bf16_drift_study.py) to localize numeric
+    divergence by depth."""
     enc = params["encoder"]
     if inputs_embeds is None:
         inputs_embeds = embed_tokens(params, cfg, input_ids)
@@ -295,7 +300,7 @@ def t5_encode(
     )
 
     if cfg.fused_encoder_attention:
-        from ..ops.fused_attention_block import t5_attention_core
+        from ..ops.fused_attention_block import t5_attention_core_vjp
 
         pos_hll = pos_bias[0]  # (H, L, L) — shared across the batch
 
@@ -315,7 +320,7 @@ def t5_encode(
                 "bld,de->ble", attn_in, p["v"].astype(attn_in.dtype),
                 preferred_element_type=jnp.float32,
             ).astype(attn_in.dtype)
-            attn = t5_attention_core(
+            attn = t5_attention_core_vjp(
                 q, k, v, pos_hll, attention_mask, cfg.num_heads
             )
             y = y + jnp.einsum(
@@ -324,7 +329,7 @@ def t5_encode(
             ).astype(y.dtype)
             ffn_in = rms_norm(y, layer_p["ln1"], cfg.layer_norm_epsilon)
             y = y + _ffn_block(layer_p["ffn"], ffn_in, cfg)
-            return y, None
+            return y, (y if collect_hiddens else None)
     else:
         mask_bias = jnp.where(
             attention_mask[:, None, None, :] > 0, 0.0, NEG_INF
@@ -338,7 +343,7 @@ def t5_encode(
                                 bias, cfg)
             ffn_in = rms_norm(y, layer_p["ln1"], cfg.layer_norm_epsilon)
             y = y + _ffn_block(layer_p["ffn"], ffn_in, cfg)
-            return y, None
+            return y, (y if collect_hiddens else None)
 
     if cfg.remat:
         layer = jax.checkpoint(layer)
@@ -346,8 +351,11 @@ def t5_encode(
         "self_attn": enc["self_attn"], "ffn": enc["ffn"],
         "ln0": enc["ln0"], "ln1": enc["ln1"],
     }
-    x, _ = jax.lax.scan(layer, x, stacked)
-    return rms_norm(x, enc["final_ln"], cfg.layer_norm_epsilon)
+    x, per_layer = jax.lax.scan(layer, x, stacked)
+    final = rms_norm(x, enc["final_ln"], cfg.layer_norm_epsilon)
+    if collect_hiddens:
+        return final, per_layer
+    return final
 
 
 def embed_tokens(params: Params, cfg: T5Config, input_ids: jax.Array) -> jax.Array:
@@ -578,11 +586,11 @@ def t5_forward_loss(
     inputs_embeds: Optional[jax.Array] = None,
     attention_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Seq2seq CE loss (captioning objective, reference: vct0.py:380-394)."""
-    if cfg.fused_encoder_attention:
-        # the fused Pallas attention is inference-only (no custom VJP);
-        # training always uses the differentiable XLA path
-        cfg = dataclasses.replace(cfg, fused_encoder_attention=False)
+    """Seq2seq CE loss (captioning objective, reference: vct0.py:380-394).
+
+    The fused Pallas encoder attention is differentiable here via
+    t5_attention_core_vjp (fused forward, recompute backward), so training
+    keeps the kernel's VMEM win."""
     encoder_hidden = t5_encode(
         params, cfg, input_ids=input_ids, inputs_embeds=inputs_embeds,
         attention_mask=attention_mask,

@@ -216,6 +216,60 @@ def t5_attention_core(
     )(q, k, v, pos_bias, mask[:, None, :])
 
 
+def _t5_attention_reference(q, k, v, pos_bias, mask, num_heads):
+    """Pure-XLA twin of the t5_attention_core kernel (identical math:
+    fp32 scores, UNSCALED q, additive position bias, -1e9 key mask).
+    Used as the recompute path in the custom VJP."""
+    batch, seq, d_model = q.shape
+    head_dim = d_model // num_heads
+
+    def split(x):
+        return x.reshape(batch, seq, num_heads, head_dim).astype(jnp.float32)
+
+    qh, kh, vh = split(q), split(k), split(v)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh)
+    s = s + pos_bias[None].astype(jnp.float32)
+    s = s + jnp.where(mask[:, None, None, :] > 0, 0.0, -1e9)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p, vh)
+    return out.reshape(batch, seq, d_model).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def t5_attention_core_vjp(q, k, v, pos_bias, mask, num_heads):
+    """Differentiable wrapper: the fused Pallas kernel on the forward
+    pass, gradients via recomputation through the XLA twin (the backward
+    of attention needs the probability matrix, which the kernel never
+    materializes — recompute trades those FLOPs for the fwd VMEM win)."""
+    return t5_attention_core(q, k, v, pos_bias, mask, num_heads)
+
+
+def _t5_attention_core_fwd(q, k, v, pos_bias, mask, num_heads):
+    out = t5_attention_core(q, k, v, pos_bias, mask, num_heads)
+    return out, (q, k, v, pos_bias, mask)
+
+
+def _t5_attention_core_bwd(num_heads, residuals, d_out):
+    q, k, v, pos_bias, mask = residuals
+    _, vjp_fn = jax.vjp(
+        lambda q_, k_, v_, b_: _t5_attention_reference(
+            q_, k_, v_, b_, mask, num_heads
+        ),
+        q, k, v, pos_bias,
+    )
+    dq, dk, dv, dbias = vjp_fn(d_out)
+    if jnp.issubdtype(mask.dtype, jnp.floating):
+        dmask = jnp.zeros_like(mask)
+    else:
+        import numpy as np
+
+        dmask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dbias, dmask
+
+
+t5_attention_core_vjp.defvjp(_t5_attention_core_fwd, _t5_attention_core_bwd)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "group", "interpret"),

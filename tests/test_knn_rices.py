@@ -103,6 +103,63 @@ class TestRICES:
             examples[0]
         )
 
+    def test_stage3_exact_vs_bruteforce_with_shared_images(self):
+        """The vectorized stage 3 (whole-image-matrix matmul + gather)
+        must match per-question brute-force cosine over the UNIQUE images
+        of each neighbour pool — many questions share images here."""
+        rng = np.random.default_rng(7)
+        # 30 train questions over only 9 images (heavy sharing)
+        train_items = [
+            {"question_id": 1000 + i, "img_key": 100 + (i * 7) % 9,
+             "question": f"q{i}", "gold_answer": f"a{i}"}
+            for i in range(30)
+        ]
+        val_items = make_items(5, 2000, 500)
+        d = 8
+        train_img = {
+            str(100 + j): rng.standard_normal((1, d)).astype(np.float32)
+            for j in range(9)
+        }
+        val_img = {
+            str(item["img_key"]):
+                rng.standard_normal((1, d)).astype(np.float32)
+            for item in val_items
+        }
+        # fake question-kNN pools: a different subset per val question
+        q_nns = {}
+        for i, item in enumerate(val_items):
+            pool = [1000 + (i * 3 + j) % 30 for j in range(12)]
+            q_nns[str(item["question_id"])] = {
+                "question_ids": pool,
+                "similarities": np.linspace(1, 0, 12).astype(np.float32),
+            }
+        got = image_knn_from_text_knn(
+            q_nns, train_items, val_items, train_img, val_img,
+            group_chunk=2,  # force multiple chunks
+        )
+        by_qid = {it["question_id"]: it for it in train_items}
+        for item in val_items:
+            qid = item["question_id"]
+            pool = q_nns[str(qid)]["question_ids"]
+            uniq_keys = list(dict.fromkeys(
+                by_qid[q]["img_key"] for q in pool
+            ))
+            q_vec = val_img[str(item["img_key"])].reshape(-1)
+            q_vec = q_vec / np.linalg.norm(q_vec)
+
+            def cos(key):
+                v = train_img[str(key)].reshape(-1)
+                return float(q_vec @ (v / np.linalg.norm(v)))
+
+            want = sorted(uniq_keys, key=cos, reverse=True)
+            entry = got[qid]
+            assert entry["img_keys"] == want
+            sims = np.asarray(entry["similarities"]).reshape(-1)
+            np.testing.assert_allclose(
+                sims, [cos(k) for k in want], rtol=1e-5, atol=1e-6
+            )
+            assert np.all(np.diff(sims) <= 1e-6)  # descending
+
     def test_joint_ordering_ascending_best_last(self):
         # construct controlled similarities: qid 1001 should win
         train_items = make_items(4, 1000, 100)
