@@ -57,6 +57,14 @@ class T5Config:
     # 557 tokens. Differentiable via t5_attention_core_vjp (fused forward,
     # recompute backward), so training paths may enable it too.
     fused_encoder_attention: bool = False
+    # fused Pallas decode-step CROSS-attention
+    # (ops/decode_attention.py::cross_attention_decode): the per-step
+    # reads of the (layers, B, Lenc, D) cross K/V caches were 41% of the
+    # 12 ms decode step under XLA (kLoop fusions at ~380 GB/s; see
+    # tools/decode_profile.py). The kernel streams K/V through VMEM once
+    # per (batch row, layer) with the layer index as a scalar-prefetch
+    # block offset.
+    fused_decode_attention: bool = False
 
     @classmethod
     def t0_3b(cls, **kw) -> "T5Config":
@@ -500,9 +508,21 @@ def t5_decode_step(
         encoder_mask[:, None, None, :] > 0, 0.0, NEG_INF
     ).astype(jnp.float32)
 
+    if cfg.fused_decode_attention:
+        from ..ops.decode_attention import cross_attention_decode
+
+        nl, batch, lenc = (cache["cross_k"].shape[0],
+                           cache["cross_k"].shape[1],
+                           cache["cross_k"].shape[2])
+        d_model_kv = cfg.num_heads * cfg.d_kv
+        # (layers, B, L, H, kv) -> (layers, B, L, H*kv): contiguous merge
+        cross_k_flat = cache["cross_k"].reshape(nl, batch, lenc, d_model_kv)
+        cross_v_flat = cache["cross_v"].reshape(nl, batch, lenc, d_model_kv)
+
     def layer(carry, scanned):
         y = carry
-        layer_p, cross_p, ln0, ln1, ln2, ffn_p, k_buf, v_buf, ck, cv = scanned
+        (layer_idx, layer_p, cross_p, ln0, ln1, ln2, ffn_p, k_buf, v_buf,
+         ck, cv) = scanned
         sa_in = rms_norm(y, ln0, cfg.layer_norm_epsilon)
         q = _project(sa_in, layer_p["q"], cfg.num_heads)
         k_new = _project(sa_in, layer_p["k"], cfg.num_heads)
@@ -522,8 +542,14 @@ def t5_decode_step(
 
         ca_in = rms_norm(y, ln1, cfg.layer_norm_epsilon)
         cq = _project(ca_in, cross_p["q"], cfg.num_heads)
-        cattn = _attention(cq, ck, cv, cross_bias, y.dtype)
-        cattn = cattn.reshape(cattn.shape[0], cattn.shape[1], -1)
+        if cfg.fused_decode_attention:
+            cattn = cross_attention_decode(
+                cq.reshape(cq.shape[0], -1), cross_k_flat, cross_v_flat,
+                encoder_mask, layer_idx, cfg.num_heads,
+            )[:, None, :]                              # (B, 1, H*kv)
+        else:
+            cattn = _attention(cq, ck, cv, cross_bias, y.dtype)
+            cattn = cattn.reshape(cattn.shape[0], cattn.shape[1], -1)
         y = y + jnp.einsum(
             "ble,ed->bld", cattn, cross_p["o"].astype(y.dtype),
             preferred_element_type=jnp.float32,
@@ -533,10 +559,19 @@ def t5_decode_step(
         y = y + _ffn_block(ffn_p, ffn_in, cfg)
         return y, (k_buf, v_buf)
 
+    nl = cfg.num_decoder_layers
+    if cfg.fused_decode_attention:
+        # cross caches stay closed-over (full arrays; the kernel indexes
+        # them by layer) — scanning them would force per-layer slices
+        dummy = jnp.zeros((nl,), dtype=jnp.int32)
+        cross_scan = (dummy, dummy)
+    else:
+        cross_scan = (cache["cross_k"], cache["cross_v"])
     scanned = (
+        jnp.arange(nl, dtype=jnp.int32),
         dec["self_attn"], dec["cross_attn"], dec["ln0"], dec["ln1"],
         dec["ln2"], dec["ffn"], cache["self_k"], cache["self_v"],
-        cache["cross_k"], cache["cross_v"],
+        *cross_scan,
     )
     hidden, (new_k, new_v) = jax.lax.scan(layer, x, scanned)
     hidden = rms_norm(hidden, dec["final_ln"], cfg.layer_norm_epsilon)
