@@ -22,7 +22,7 @@ scores fit VMEM; the CLIP vision tower opts in via
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,57 +30,115 @@ from jax.experimental import pallas as pl
 
 
 def _make_kernel(group: int, seq: int, num_heads: int, head_dim: int,
-                 scale: float, out_dtype):
+                 scale: float, out_dtype, compute_dtype=jnp.float32):
     d_model = num_heads * head_dim
 
     def kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
                wo_ref, bo_ref, o_ref):
-        wq = wq_ref[:]
-        wk = wk_ref[:]
-        wv = wv_ref[:]
-        wo = wo_ref[:]
+        # matmul operands in compute_dtype (bf16 on TPU: full-rate MXU;
+        # fp32 operands run the MXU at 1/4 throughput), accumulation and
+        # softmax always in fp32
+        wq = wq_ref[:].astype(compute_dtype)
+        wk = wk_ref[:].astype(compute_dtype)
+        wv = wv_ref[:].astype(compute_dtype)
+        wo = wo_ref[:].astype(compute_dtype)
 
         def per_image(g, _):
-            x = x_ref[g].astype(jnp.float32)          # (L, D)
-            q = jax.lax.dot_general(
-                x, wq.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            x = x_ref[g].astype(compute_dtype)        # (L, D)
+            q = (jax.lax.dot_general(
+                x, wq, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) + bq_ref[:].astype(jnp.float32)
-            k = jax.lax.dot_general(
-                x, wk.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            ) + bq_ref[:].astype(jnp.float32)).astype(compute_dtype)
+            k = (jax.lax.dot_general(
+                x, wk, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) + bk_ref[:].astype(jnp.float32)
-            v = jax.lax.dot_general(
-                x, wv.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            ) + bk_ref[:].astype(jnp.float32)).astype(compute_dtype)
+            v = (jax.lax.dot_general(
+                x, wv, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) + bv_ref[:].astype(jnp.float32)
+            ) + bv_ref[:].astype(jnp.float32)).astype(compute_dtype)
 
             outs = []
             for h in range(num_heads):
                 sl = slice(h * head_dim, (h + 1) * head_dim)
-                qh = q[:, sl] * scale
+                qh = q[:, sl] * compute_dtype(scale)
                 kh = k[:, sl]
                 vh = v[:, sl]
                 s = jax.lax.dot_general(
                     qh, kh, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )                                       # (L, L)
+                )                                       # (L, L) fp32
                 m = jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp(s - m)
-                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(
+                    compute_dtype
+                )
                 outs.append(jax.lax.dot_general(
                     p, vh, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ))                                      # (L, head_dim)
+                ).astype(compute_dtype))                # (L, head_dim)
             attn = jnp.concatenate(outs, axis=-1)       # (L, D)
             y = jax.lax.dot_general(
-                attn, wo.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                attn, wo, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + bo_ref[:].astype(jnp.float32)
             o_ref[g] = y.astype(out_dtype)
             return 0
 
         jax.lax.fori_loop(0, group, per_image, 0)
+
+    return kernel
+
+
+def _make_bd_kernel(group: int, seq: int, num_heads: int, head_dim: int,
+                    scale: float, out_dtype):
+    """Block-diagonal variant: the whole image group rides the M axis.
+
+    Projections become ONE (G*L, D) x (D, D) matmul and each head's
+    scores ONE (G*L, G*L) matmul with cross-image entries masked to -inf
+    before the softmax — G*x more score FLOPs, but every op is a large
+    MXU matmul instead of G sequential slivers, and everything stays in
+    VMEM. FLOP overhead at G=4, L=50 is ~3% of the whole ViT-B/32.
+    """
+    d_model = num_heads * head_dim
+    gl = group * seq
+
+    def kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+               wo_ref, bo_ref, o_ref):
+        x = x_ref[:].reshape(gl, d_model).astype(jnp.float32)
+        row_img = jax.lax.broadcasted_iota(jnp.int32, (gl, gl), 0) // seq
+        col_img = jax.lax.broadcasted_iota(jnp.int32, (gl, gl), 1) // seq
+        blockmask = jnp.where(row_img == col_img, 0.0, -1e30)
+
+        def proj(w_ref, b_ref):
+            return jax.lax.dot_general(
+                x, w_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b_ref[:].astype(jnp.float32)
+
+        q = proj(wq_ref, bq_ref) * scale
+        k = proj(wk_ref, bk_ref)
+        v = proj(wv_ref, bv_ref)
+        outs = []
+        for h in range(num_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            s = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + blockmask                              # (GL, GL)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(jax.lax.dot_general(
+                p, v[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        attn = jnp.concatenate(outs, axis=-1)
+        y = jax.lax.dot_general(
+            attn, wo_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bo_ref[:].astype(jnp.float32)
+        o_ref[:] = y.reshape(group, seq, d_model).astype(out_dtype)
 
     return kernel
 
@@ -272,7 +330,8 @@ t5_attention_core_vjp.defvjp(_t5_attention_core_fwd, _t5_attention_core_bwd)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "group", "interpret"),
+    static_argnames=("num_heads", "group", "interpret", "compute_dtype",
+                     "block_diag"),
 )
 def fused_attention_block(
     x: jax.Array,        # (B, L, D) — post-LN activations
@@ -283,6 +342,8 @@ def fused_attention_block(
     num_heads: int,
     group: int = 16,
     interpret: Optional[bool] = None,
+    compute_dtype: Any = jnp.float32,
+    block_diag: bool = False,
 ) -> jax.Array:
     """Returns softmax((xWq)(xWk)^T/sqrt(dh))(xWv) Wo + bo, per head,
     shaped (B, L, D). Requires B % group == 0."""
@@ -293,7 +354,12 @@ def fused_attention_block(
     head_dim = d_model // num_heads
     scale = head_dim ** -0.5
 
-    kernel = _make_kernel(group, seq, num_heads, head_dim, scale, x.dtype)
+    if block_diag:
+        kernel = _make_bd_kernel(group, seq, num_heads, head_dim, scale,
+                                 x.dtype)
+    else:
+        kernel = _make_kernel(group, seq, num_heads, head_dim, scale,
+                              x.dtype, compute_dtype=compute_dtype)
     grid = (batch // group,)
     mat = pl.BlockSpec((d_model, d_model), lambda i: (0, 0))
     vec = pl.BlockSpec((d_model,), lambda i: (0,))
