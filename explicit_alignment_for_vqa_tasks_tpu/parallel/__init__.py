@@ -9,9 +9,23 @@ from .mesh import (
     shard_lm_params,
     t5_param_specs,
 )
+from .pipeline import (
+    gpipe,
+    make_mesh_3d,
+    pp_param_specs,
+    shard_lm_params_pp,
+    t5_forward_loss_pp,
+    vct0_caption_loss_pp,
+)
 
 __all__ = [
     "batch_sharding",
+    "gpipe",
+    "make_mesh_3d",
+    "pp_param_specs",
+    "shard_lm_params_pp",
+    "t5_forward_loss_pp",
+    "vct0_caption_loss_pp",
     "gather_predictions_to_host0",
     "maybe_initialize_distributed",
     "metric_psum",

@@ -1,0 +1,429 @@
+"""Pipeline parallelism (GPipe) over the scan-stacked T5 — beyond parity.
+
+The reference has no model/pipeline parallelism at all (SURVEY §2.2; its
+nearest mechanism is latent PL-DDP). This module adds a third mesh axis so
+the frozen LM can outgrow one chip's HBM: a ``(data, pipe, model)`` mesh
+where
+
+* ``pipe``  — the stacked layer axis ``(L, ...)`` of the encoder/decoder
+  param pytrees is sharded over stages. Microbatches flow stage-to-stage
+  with ``lax.ppermute`` inside ``shard_map`` on a GPipe schedule (fill,
+  steady state, drain: ``M + S - 1`` ticks for M microbatches / S stages).
+* ``model`` — megatron tensor parallelism with explicit collectives
+  (``shard_map`` makes them manual): q/k/v and wi_* split their OUTPUT
+  dim (contiguous head groups / ffn columns), o and wo split their INPUT
+  dim, and a single ``psum`` closes each attention/FFN block. The
+  relative-position bias table shards over heads, consistent with the
+  head-group weight split.
+* ``data``  — each data shard runs an independent pipeline; the final
+  token-weighted cross-entropy reduces with a ``psum`` over ``data``.
+
+Everything is differentiable end-to-end: the microbatch loop is a
+``lax.scan`` (reverse-mode transposable, unlike ``fori_loop``) and
+``ppermute`` transposes to its inverse permutation — so mapper training
+under ``jax.grad`` works through the pipeline (the LM itself stays frozen,
+reference behavior: src/models/vct0.py:535-544).
+
+The plain XLA attention path is used inside stages (the fused Pallas
+kernel targets single-chip inference/training; under manual ``shard_map``
+collectives the einsum formulation keeps the code auditable and lets XLA
+overlap the psums with the next microbatch's compute).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.4.35 exposes shard_map at the top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from ..models import t5 as t5_lib
+from ..models.t5 import (
+    NEG_INF,
+    T5Config,
+    compute_position_bias,
+    rms_norm,
+    shift_right,
+)
+
+Params = Any
+
+DATA_AXIS = "data"
+PIPE_AXIS = "pipe"
+MODEL_AXIS = "model"
+
+
+def make_mesh_3d(n_devices: int, data: int, pipe: int, model: int,
+                 devices: Optional[list] = None) -> Mesh:
+    """A (data, pipe, model) mesh. Sizes must multiply to n_devices."""
+    devices = devices if devices is not None else jax.devices()
+    devices = devices[:n_devices]
+    if data * pipe * model != len(devices):
+        raise ValueError(
+            f"mesh {data}x{pipe}x{model} != {len(devices)} devices"
+        )
+    arr = np.asarray(devices).reshape(data, pipe, model)
+    return Mesh(arr, axis_names=(DATA_AXIS, PIPE_AXIS, MODEL_AXIS))
+
+
+# ---------------------------------------------------------------------------
+# Param partition specs for the pipelined LM
+# ---------------------------------------------------------------------------
+
+def pp_param_specs(params: Params) -> Params:
+    """PartitionSpecs for the full T5 pytree under (data, pipe, model).
+
+    Stacked per-layer leaves (leading dim = num_layers) shard over `pipe`;
+    within a layer the megatron split applies over `model` (same recipe as
+    mesh.py::t5_param_specs, but here consumed by shard_map, so the psums
+    that close each block are written explicitly in the layer fns below).
+    Embedding / lm_head / final layernorms replicate.
+    """
+
+    def spec_for(path: tuple, leaf: Any) -> P:
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        key = names[-1] if names else ""
+        if key == "rel_bias":            # (buckets, H)
+            return P(None, MODEL_AXIS)
+        if key in ("shared", "lm_head", "final_ln"):
+            return P()
+        stacked = getattr(leaf, "ndim", 0) == 3
+        if key in ("q", "k", "v", "wi_0", "wi_1"):
+            return P(PIPE_AXIS, None, MODEL_AXIS) if stacked else \
+                P(None, MODEL_AXIS)
+        if key in ("o", "wo"):
+            return P(PIPE_AXIS, MODEL_AXIS, None) if stacked else \
+                P(MODEL_AXIS, None)
+        if key in ("ln0", "ln1", "ln2"):  # (layers, D)
+            return P(PIPE_AXIS, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_lm_params_pp(mesh: Mesh, params: Params) -> Params:
+    from jax.sharding import NamedSharding
+
+    specs = pp_param_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+# ---------------------------------------------------------------------------
+# The GPipe schedule (runs INSIDE shard_map)
+# ---------------------------------------------------------------------------
+
+def gpipe(run_stage, x_mb: jax.Array, side_mb: Params, *,
+          axis_name: str, n_stages: int, n_micro: int) -> jax.Array:
+    """GPipe over one stack of layers.
+
+    ``run_stage(x, side) -> y`` applies this stage's local layer shard.
+    ``x_mb``   — (M, ...) microbatched activations (same array on every
+                 stage; stage 0 is the only one that reads it as input).
+    ``side_mb``— pytree of per-microbatch side inputs, leading dim M.
+                 Each stage indexes the microbatch it is currently
+                 processing (mb = t - stage), so side inputs never ride
+                 the ppermute ring.
+
+    Returns (M, ...) outputs of the LAST stage, broadcast to all stages
+    (psum of a one-hot-by-stage selection). Bubble fraction is the usual
+    (S-1)/(M+S-1); pick M >= S for reasonable efficiency.
+    """
+    S, M = n_stages, n_micro
+    stage = jax.lax.axis_index(axis_name)
+
+    def tick(carry, t):
+        state, outputs = carry
+        # Stage s processes microbatch (t - s); out-of-range ticks compute
+        # garbage on clipped inputs that is never committed downstream.
+        mb = jnp.clip(t - stage, 0, M - 1)
+        x_in = jax.lax.dynamic_index_in_dim(x_mb, mb, 0, keepdims=False)
+        x_cur = jnp.where(stage == 0, x_in, state)
+        side = jax.tree.map(
+            lambda s_: jax.lax.dynamic_index_in_dim(
+                s_, mb, 0, keepdims=False),
+            side_mb,
+        )
+        out = run_stage(x_cur, side)
+        o_idx = t - (S - 1)
+        commit = jnp.logical_and(
+            stage == S - 1, jnp.logical_and(o_idx >= 0, o_idx < M)
+        )
+        o_clip = jnp.clip(o_idx, 0, M - 1)
+        prev = jax.lax.dynamic_index_in_dim(outputs, o_clip, 0,
+                                            keepdims=False)
+        outputs = jax.lax.dynamic_update_index_in_dim(
+            outputs, jnp.where(commit, out, prev), o_clip, 0
+        )
+        if S > 1:
+            state = jax.lax.ppermute(
+                out, axis_name, [(i, i + 1) for i in range(S - 1)]
+            )
+        else:
+            state = out
+        return (state, outputs), None
+
+    init = (jnp.zeros_like(x_mb[0]), jnp.zeros_like(x_mb))
+    (_, outputs), _ = jax.lax.scan(tick, init, jnp.arange(M + S - 1))
+    if S > 1:
+        outputs = jax.lax.psum(
+            jnp.where(stage == S - 1, outputs, jnp.zeros_like(outputs)),
+            axis_name,
+        )
+    return outputs
+
+
+# ---------------------------------------------------------------------------
+# Per-stage layer bodies with explicit tp collectives
+# ---------------------------------------------------------------------------
+
+def _attn_block_tp(layer_p: Params, x: jax.Array, kv_src: jax.Array,
+                   bias: jax.Array, cfg: T5Config, heads_local: int) -> jax.Array:
+    """Local head-group attention; one psum over `model` closes the block."""
+    q = t5_lib._project(x, layer_p["q"], heads_local)
+    k = t5_lib._project(kv_src, layer_p["k"], heads_local)
+    v = t5_lib._project(kv_src, layer_p["v"], heads_local)
+    out = t5_lib._attention(q, k, v, bias, x.dtype)
+    out = out.reshape(out.shape[0], out.shape[1], -1)
+    y = jnp.einsum(
+        "ble,ed->bld", out, layer_p["o"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return jax.lax.psum(y, MODEL_AXIS).astype(x.dtype)
+
+
+def _ffn_block_tp(layer_p: Params, x: jax.Array, cfg: T5Config) -> jax.Array:
+    hidden = jnp.einsum(
+        "bld,df->blf", x, layer_p["wi_0"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    hidden = t5_lib.gelu_new(hidden)
+    if cfg.is_gated_act:
+        linear = jnp.einsum(
+            "bld,df->blf", x, layer_p["wi_1"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        hidden = hidden * linear
+    y = jnp.einsum(
+        "blf,fd->bld", hidden, layer_p["wo"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return jax.lax.psum(y, MODEL_AXIS).astype(x.dtype)
+
+
+def _encoder_layer(cfg: T5Config, heads_local: int):
+    eps = cfg.layer_norm_epsilon
+
+    def layer(x, side, layer_p):
+        attn_in = rms_norm(x, layer_p["ln0"], eps)
+        y = x + _attn_block_tp(
+            layer_p["self_attn"], attn_in, attn_in, side["bias"], cfg,
+            heads_local,
+        )
+        ffn_in = rms_norm(y, layer_p["ln1"], eps)
+        return y + _ffn_block_tp(layer_p["ffn"], ffn_in, cfg)
+
+    return layer
+
+
+def _decoder_layer(cfg: T5Config, heads_local: int):
+    eps = cfg.layer_norm_epsilon
+
+    def layer(x, side, layer_p):
+        sa_in = rms_norm(x, layer_p["ln0"], eps)
+        y = x + _attn_block_tp(
+            layer_p["self_attn"], sa_in, sa_in, side["self_bias"], cfg,
+            heads_local,
+        )
+        ca_in = rms_norm(y, layer_p["ln1"], eps)
+        y = y + _attn_block_tp(
+            layer_p["cross_attn"], ca_in, side["enc"], side["cross_bias"],
+            cfg, heads_local,
+        )
+        ffn_in = rms_norm(y, layer_p["ln2"], eps)
+        return y + _ffn_block_tp(layer_p["ffn"], ffn_in, cfg)
+
+    return layer
+
+
+def _stage_runner(layer, stacked_local):
+    def run(x, side):
+        def body(c, p):
+            return layer(c, side, p), None
+
+        y, _ = jax.lax.scan(body, x, stacked_local)
+        return y
+
+    return run
+
+
+def _microbatch(x: jax.Array, m: int) -> jax.Array:
+    return x.reshape(m, x.shape[0] // m, *x.shape[1:])
+
+
+# ---------------------------------------------------------------------------
+# Pipelined seq2seq forward loss
+# ---------------------------------------------------------------------------
+
+def t5_forward_loss_pp(
+    params: Params,
+    cfg: T5Config,
+    mesh: Mesh,
+    labels: jax.Array,                  # (B, T) with -100 padding
+    inputs_embeds: jax.Array,           # (B, L, D)
+    attention_mask: Optional[jax.Array] = None,
+    n_micro: int = 2,
+) -> jax.Array:
+    """Pipelined twin of t5.t5_forward_loss (same math, 3-D parallel).
+
+    Call under jit with `mesh` active. Requires: encoder AND decoder layer
+    counts divisible by the pipe size, num_heads and d_ff divisible by the
+    model size, per-data-shard batch divisible by n_micro.
+    """
+    dp = mesh.shape[DATA_AXIS]
+    pp = mesh.shape[PIPE_AXIS]
+    tp = mesh.shape[MODEL_AXIS]
+    if cfg.num_encoder_layers % pp or cfg.num_decoder_layers % pp:
+        raise ValueError(
+            f"layers ({cfg.num_encoder_layers}/{cfg.num_decoder_layers}) "
+            f"not divisible by pipe={pp}"
+        )
+    if cfg.num_heads % tp or cfg.d_ff % tp:
+        raise ValueError(
+            f"heads={cfg.num_heads} / d_ff={cfg.d_ff} not divisible by "
+            f"model={tp}"
+        )
+    batch = labels.shape[0]
+    if batch % (dp * n_micro):
+        raise ValueError(
+            f"batch={batch} not divisible by data({dp}) x n_micro({n_micro})"
+        )
+    heads_local = cfg.num_heads // tp
+    enc_len = inputs_embeds.shape[1]
+    if attention_mask is None:
+        attention_mask = jnp.ones((batch, enc_len), dtype=jnp.int32)
+
+    def loss_fn(lm_params, x, labels, mask):
+        enc_p, dec_p = lm_params["encoder"], lm_params["decoder"]
+        b_loc, length, _ = x.shape
+        m = n_micro
+        x = x.astype(cfg.dtype)
+
+        # ---- encoder pipeline ----
+        pos = compute_position_bias(
+            enc_p["rel_bias"], length, length, bidirectional=True, cfg=cfg
+        )  # (1, H_local, L, L)
+        mask_bias = jnp.where(
+            mask[:, None, None, :] > 0, 0.0, NEG_INF
+        ).astype(jnp.float32)
+        enc_bias = pos + mask_bias  # (b_loc, H_local, L, L)
+        enc_stacked = {
+            "self_attn": enc_p["self_attn"], "ffn": enc_p["ffn"],
+            "ln0": enc_p["ln0"], "ln1": enc_p["ln1"],
+        }
+        run_enc = _stage_runner(
+            _encoder_layer(cfg, heads_local), enc_stacked
+        )
+        y_mb = gpipe(
+            run_enc, _microbatch(x, m), {"bias": _microbatch(enc_bias, m)},
+            axis_name=PIPE_AXIS, n_stages=pp, n_micro=m,
+        )
+        enc_hidden = rms_norm(
+            y_mb.reshape(b_loc, length, -1), enc_p["final_ln"],
+            cfg.layer_norm_epsilon,
+        )
+
+        # ---- decoder pipeline ----
+        dec_in = shift_right(labels, cfg)
+        xd = lm_params["shared"].astype(cfg.dtype)[dec_in]
+        qlen = xd.shape[1]
+        causal = jnp.tril(jnp.ones((qlen, qlen), dtype=bool))
+        self_bias = compute_position_bias(
+            dec_p["rel_bias"], qlen, qlen, bidirectional=False, cfg=cfg
+        ) + jnp.where(causal[None, None], 0.0, NEG_INF)
+        self_bias = jnp.broadcast_to(
+            self_bias, (b_loc, heads_local, qlen, qlen)
+        )
+        cross_bias = jnp.where(
+            mask[:, None, None, :] > 0, 0.0, NEG_INF
+        ).astype(jnp.float32)
+        cross_bias = jnp.broadcast_to(
+            cross_bias, (b_loc, heads_local, qlen, length)
+        )
+        dec_stacked = {
+            "self_attn": dec_p["self_attn"],
+            "cross_attn": dec_p["cross_attn"], "ffn": dec_p["ffn"],
+            "ln0": dec_p["ln0"], "ln1": dec_p["ln1"], "ln2": dec_p["ln2"],
+        }
+        run_dec = _stage_runner(
+            _decoder_layer(cfg, heads_local), dec_stacked
+        )
+        side_d = {
+            "enc": _microbatch(enc_hidden, m),
+            "self_bias": _microbatch(self_bias, m),
+            "cross_bias": _microbatch(cross_bias, m),
+        }
+        yd_mb = gpipe(
+            run_dec, _microbatch(xd, m), side_d,
+            axis_name=PIPE_AXIS, n_stages=pp, n_micro=m,
+        )
+        hidden = rms_norm(
+            yd_mb.reshape(b_loc, qlen, -1), dec_p["final_ln"],
+            cfg.layer_norm_epsilon,
+        )
+
+        # ---- logits + token-weighted CE, reduced over the data axis ----
+        logits = t5_lib.lm_logits(lm_params, cfg, hidden)
+        valid = labels != -100
+        safe = jnp.where(valid, labels, 0)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        num = jax.lax.psum((tll * valid).sum(), DATA_AXIS)
+        den = jax.lax.psum(valid.sum(), DATA_AXIS)
+        return -num / jnp.maximum(den, 1)
+
+    specs = pp_param_specs(params)
+    shmapped = _shard_map(
+        loss_fn,
+        mesh=mesh,
+        in_specs=(specs, P(DATA_AXIS, None, None), P(DATA_AXIS, None),
+                  P(DATA_AXIS, None)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return shmapped(params, inputs_embeds, labels, attention_mask)
+
+
+def vct0_caption_loss_pp(
+    mapper_params: Params,
+    lm_params: Params,
+    cfg: Any,                       # VCT0Config
+    mesh: Mesh,
+    clip_embeddings: jax.Array,     # (B, prefix_size)
+    labels: jax.Array,              # (B, T)
+    n_micro: int = 2,
+) -> jax.Array:
+    """Pipelined twin of vct0.vct0_caption_loss: mapper (replicated, tiny)
+    projects the CLIP embedding into prefix token embeddings outside the
+    shard_map; the frozen LM runs the 3-D-parallel pipeline."""
+    from ..models.vct0 import mapper_apply
+
+    if cfg.freeze_lm:
+        lm_params = jax.tree.map(jax.lax.stop_gradient, lm_params)
+    flat = mapper_apply(cfg.mapper, mapper_params, clip_embeddings)
+    prefix_embeds = flat.reshape(
+        -1, cfg.mapper.prefix_length, cfg.lm.d_model
+    ).astype(cfg.lm.dtype)
+    return t5_forward_loss_pp(
+        lm_params, cfg.lm, mesh, labels, inputs_embeds=prefix_embeds,
+        n_micro=n_micro,
+    )

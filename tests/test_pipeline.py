@@ -1,0 +1,165 @@
+"""Pipeline parallelism (GPipe over the scan-stacked T5) on the 8-device
+virtual CPU mesh: parity of the 3-D-parallel (data x pipe x model) forward
+loss and mapper gradients against the plain single-device path."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from explicit_alignment_for_vqa_tasks_tpu.models.mappers import (  # noqa: E402
+    MapperConfig,
+)
+from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (  # noqa: E402
+    T5Config,
+    init_t5_params,
+    t5_forward_loss,
+)
+from explicit_alignment_for_vqa_tasks_tpu.models.vct0 import (  # noqa: E402
+    VCT0Config,
+    init_vct0_params,
+    vct0_caption_loss,
+)
+from explicit_alignment_for_vqa_tasks_tpu.parallel.pipeline import (  # noqa: E402
+    make_mesh_3d,
+    pp_param_specs,
+    shard_lm_params_pp,
+    t5_forward_loss_pp,
+    vct0_caption_loss_pp,
+)
+
+
+def small_cfg(**kw):
+    return T5Config(
+        vocab_size=128, d_model=32, d_kv=4, num_heads=8, d_ff=64,
+        num_encoder_layers=4, num_decoder_layers=4,
+        relative_attention_num_buckets=8, relative_attention_max_distance=16,
+        dtype=jnp.float32, **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = small_cfg()
+    params = init_t5_params(jax.random.PRNGKey(0), cfg,
+                            param_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    batch, enc_len, tgt_len = 8, 6, 5
+    embeds = jnp.asarray(
+        rng.standard_normal((batch, enc_len, cfg.d_model)).astype(np.float32)
+    )
+    mask = jnp.asarray(
+        (rng.random((batch, enc_len)) > 0.2).astype(np.int32)
+    ).at[:, 0].set(1)
+    labels = np.asarray(
+        rng.integers(2, cfg.vocab_size, size=(batch, tgt_len)),
+        dtype=np.int32,
+    )
+    labels[:, -1] = -100
+    labels = jnp.asarray(labels)
+    ref = t5_forward_loss(params, cfg, labels, inputs_embeds=embeds,
+                          attention_mask=mask)
+    return cfg, params, embeds, mask, labels, float(ref)
+
+
+MESHES = [(2, 2, 2, 2), (1, 4, 2, 2), (2, 4, 1, 2), (8, 1, 1, 1),
+          (1, 1, 8, 4)]
+
+
+class TestForwardParity:
+    @pytest.mark.parametrize("dp,pp,tp,n_micro", MESHES)
+    def test_loss_matches_plain_path(self, setup, dp, pp, tp, n_micro):
+        cfg, params, embeds, mask, labels, ref = setup
+        mesh = make_mesh_3d(8, dp, pp, tp)
+        with mesh:
+            sharded = shard_lm_params_pp(mesh, params)
+            loss = jax.jit(
+                lambda p, e, l, m: t5_forward_loss_pp(
+                    p, cfg, mesh, l, e, m, n_micro=n_micro)
+            )(sharded, embeds, labels, mask)
+        assert np.isfinite(float(loss))
+        np.testing.assert_allclose(float(loss), ref, rtol=2e-4)
+
+    def test_n_micro_invariance(self, setup):
+        cfg, params, embeds, mask, labels, ref = setup
+        mesh = make_mesh_3d(8, 2, 2, 2)
+        with mesh:
+            sharded = shard_lm_params_pp(mesh, params)
+            for m in (1, 2, 4):
+                loss = jax.jit(
+                    lambda p, e, l, mk, m=m: t5_forward_loss_pp(
+                        p, cfg, mesh, l, e, mk, n_micro=m)
+                )(sharded, embeds, labels, mask)
+                np.testing.assert_allclose(float(loss), ref, rtol=2e-4)
+
+
+class TestValidation:
+    def test_indivisible_layers_raise(self, setup):
+        cfg, params, embeds, mask, labels, _ = setup
+        mesh = make_mesh_3d(8, 1, 8, 1)  # pipe=8 does not divide 4 layers
+        with pytest.raises(ValueError, match="not divisible by pipe"):
+            t5_forward_loss_pp(params, cfg, mesh, labels, embeds, mask)
+
+    def test_indivisible_batch_raises(self, setup):
+        cfg, params, embeds, mask, labels, _ = setup
+        mesh = make_mesh_3d(8, 2, 2, 2)
+        with pytest.raises(ValueError, match="batch"):
+            t5_forward_loss_pp(params, cfg, mesh, labels[:6], embeds[:6],
+                               mask[:6], n_micro=2)
+
+    def test_specs_cover_tree(self, setup):
+        cfg, params, *_ = setup
+        specs = pp_param_specs(params)
+        flat_p = jax.tree.leaves(params)
+        flat_s = jax.tree.leaves(
+            specs, is_leaf=lambda x: isinstance(
+                x, jax.sharding.PartitionSpec)
+        )
+        assert len(flat_p) == len(flat_s)
+
+
+class TestMapperGradsThroughPipeline:
+    def test_grads_match_plain_path(self):
+        lm_cfg = small_cfg()
+        cfg = VCT0Config(
+            lm=lm_cfg,
+            mapper=MapperConfig(
+                mapping_type="mlp", prefix_size=16, d_model=lm_cfg.d_model,
+                prefix_length=4, clip_length=4,
+            ),
+        )
+        params = init_vct0_params(jax.random.PRNGKey(1), cfg,
+                                  param_dtype=jnp.float32)
+        rng = np.random.default_rng(1)
+        batch = 8
+        clip = jnp.asarray(
+            rng.standard_normal((batch, 16)).astype(np.float32))
+        labels = jnp.asarray(
+            rng.integers(2, lm_cfg.vocab_size, size=(batch, 5)),
+            dtype=jnp.int32)
+
+        ref_loss, ref_grads = jax.value_and_grad(vct0_caption_loss)(
+            params["mapper"], params["lm"], cfg, clip, labels)
+
+        mesh = make_mesh_3d(8, 2, 2, 2)
+        with mesh:
+            lm_sharded = shard_lm_params_pp(mesh, params["lm"])
+            loss, grads = jax.jit(
+                jax.value_and_grad(
+                    lambda mp, lp, c, l: vct0_caption_loss_pp(
+                        mp, lp, cfg, mesh, c, l, n_micro=2))
+            )(params["mapper"], lm_sharded, clip, labels)
+
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-4)
+        key = jax.tree_util.keystr
+        for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(ref_grads),
+                   key=lambda kv: key(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(grads),
+                   key=lambda kv: key(kv[0])),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5,
+                err_msg=f"grad mismatch at {ka} vs {kb}",
+            )
