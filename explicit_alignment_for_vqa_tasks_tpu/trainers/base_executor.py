@@ -39,12 +39,19 @@ class BaseExecutor(MetricsProcessor):
         self.in_sanity_check = False
         self.multi_logger: Optional[MultiLogger] = None
         self.mesh = None  # set by _setup_mesh when >1 device is available
+        self.pipelined = False  # 3-D (data, pipe, model) GPipe mesh active
+        self.n_micro = 1
 
     def _setup_mesh(self, model: Any) -> None:
         """Place params on the device mesh when multiple devices exist:
         frozen LM sharded over `model` (megatron-style tp specs), mapper
         replicated, batches later sharded over `data`
-        (parallel/mesh.py). No-op on a single device."""
+        (parallel/mesh.py). No-op on a single device.
+
+        With ``tpu.mesh.pipe > 1`` a 3-D (data, pipe, model) mesh is built
+        instead and the LM's stacked layer axis is sharded over `pipe`
+        (GPipe pipeline, parallel/pipeline.py); T5-family executors then
+        route training/eval losses through the pipelined twin."""
         import jax
 
         if jax.device_count() <= 1 or not self.config.get("tpu", {}).get(
@@ -57,12 +64,40 @@ class BaseExecutor(MetricsProcessor):
             shard_lm_params,
         )
 
+        sizes = dict(self.config.get("tpu", {}).get("mesh", {}))
+        pipe = int(sizes.get("pipe", 1) or 1)
+        is_t5 = "lm" in model.params and "shared" in model.params["lm"]
+        if pipe > 1 and is_t5:
+            from ..parallel.pipeline import make_mesh_3d, shard_lm_params_pp
+
+            n = jax.device_count()
+            tp = int(sizes.get("model", 1) or 1)
+            dp = int(sizes.get("data", -1) or -1)
+            if dp in (-1, 0):
+                dp = n // (pipe * tp)
+            try:
+                self.mesh = make_mesh_3d(n, dp, pipe, tp)
+            except ValueError as exc:
+                logger.warning("pipelined mesh disabled: %s", exc)
+                return
+            self.pipelined = True
+            self.n_micro = int(
+                self.config.get("tpu", {}).get("n_micro", 2) or 2
+            )
+            model.params["lm"] = shard_lm_params_pp(self.mesh,
+                                                    model.params["lm"])
+            model.params["mapper"] = replicate_params(self.mesh,
+                                                      model.params["mapper"])
+            logger.info("pipelined mesh active: %s, n_micro=%d",
+                        dict(self.mesh.shape), self.n_micro)
+            return
+
         try:
             self.mesh = make_mesh(self.config)
         except ValueError as exc:
             logger.warning("mesh disabled: %s", exc)
             return
-        if "lm" in model.params and "shared" in model.params["lm"]:
+        if is_t5:
             model.params["lm"] = shard_lm_params(self.mesh,
                                                  model.params["lm"])
         else:

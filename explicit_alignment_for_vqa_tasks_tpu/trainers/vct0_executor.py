@@ -50,10 +50,11 @@ class VCT0Executor(BaseExecutor):
     def _build_train_step(self):
         cfg = self.model.cfg
         tx = self.tx
+        loss_fn = self._loss_fn()
 
         @jax.jit
         def step(mapper_params, opt_state, lm_params, clip, labels):
-            loss, grads = jax.value_and_grad(vct0_caption_loss)(
+            loss, grads = jax.value_and_grad(loss_fn)(
                 mapper_params, lm_params, cfg, clip, labels
             )
             updates, opt_state = tx.update(grads, opt_state, mapper_params)
@@ -62,21 +63,61 @@ class VCT0Executor(BaseExecutor):
 
         return step
 
+    def _loss_fn(self):
+        """Captioning loss; the GPipe twin when a (data, pipe, model) mesh
+        is active (config tpu.mesh.pipe > 1, parallel/pipeline.py)."""
+        if not self.pipelined:
+            return vct0_caption_loss
+        from ..parallel.pipeline import vct0_caption_loss_pp
+
+        mesh, n_micro = self.mesh, self.n_micro
+
+        def loss_fn(mapper_params, lm_params, cfg, clip, labels):
+            return vct0_caption_loss_pp(
+                mapper_params, lm_params, cfg, mesh, clip, labels,
+                n_micro=n_micro,
+            )
+
+        return loss_fn
+
     def _build_eval_loss(self):
         cfg = self.model.cfg
+        loss_fn = self._loss_fn()
 
         @jax.jit
         def eval_loss(mapper_params, lm_params, clip, labels):
-            return vct0_caption_loss(
-                mapper_params, lm_params, cfg, clip, labels
-            )
+            return loss_fn(mapper_params, lm_params, cfg, clip, labels)
 
         return eval_loss
 
+    def _pad_for_pipeline(self, clip, labels):
+        """Pad the batch to a multiple of data x n_micro. Exact: rows whose
+        labels are all -100 contribute zero to both the token-CE numerator
+        and the valid-token count (pipeline.py's psum'd mean), so the loss
+        and mapper gradients are unchanged."""
+        if not self.pipelined:
+            return clip, labels
+        mult = self.mesh.shape["data"] * self.n_micro
+        b = clip.shape[0]
+        pad = (-b) % mult
+        if pad == 0:
+            return clip, labels
+        clip = jnp.concatenate(
+            [clip, jnp.zeros((pad, *clip.shape[1:]), clip.dtype)], axis=0
+        )
+        labels = jnp.concatenate(
+            [labels, jnp.full((pad, *labels.shape[1:]), -100, labels.dtype)],
+            axis=0,
+        )
+        return clip, labels
+
     # ------------------------------------------------------------------
     def training_step(self, batch: AttrDict, batch_idx: int) -> Dict:
-        clip = self._shard(jnp.asarray(batch.clip_embeddings))
-        labels = self._shard(jnp.asarray(batch.labels))
+        clip, labels = self._pad_for_pipeline(
+            jnp.asarray(batch.clip_embeddings), jnp.asarray(batch.labels)
+        )
+        clip = self._shard(clip)
+        labels = self._shard(labels)
         mapper, self.opt_state, loss = self._train_step(
             self.model.params["mapper"], self.opt_state,
             self.model.params["lm"], clip, labels,
@@ -106,8 +147,10 @@ class VCT0Executor(BaseExecutor):
     def _generative_step(self, batch: AttrDict, batch_idx: int) -> Dict:
         clip = jnp.asarray(batch.clip_embeddings)
         labels = jnp.asarray(batch.labels)
+        loss_clip, loss_labels = self._pad_for_pipeline(clip, labels)
         loss = float(self._eval_loss(
-            self.model.params["mapper"], self.model.params["lm"], clip, labels
+            self.model.params["mapper"], self.model.params["lm"],
+            loss_clip, loss_labels,
         ))
         out: Dict[str, Any] = {"loss": loss, "table_entries": []}
         if batch_idx < NUM_CAPTION_GEN_BATCHES:

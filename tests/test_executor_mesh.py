@@ -1,5 +1,6 @@
 """Executor-level mesh integration: VCT0 training step sharded over the
-8-device CPU mesh (dp batch sharding + tp LM sharding)."""
+8-device CPU mesh (dp batch sharding + tp LM sharding), and the 3-D
+(data, pipe, model) GPipe path selected via config tpu.mesh.pipe."""
 
 import argparse
 import os
@@ -22,7 +23,7 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PREFIX_SIZE = 16
 
 
-def test_vct0_training_on_mesh(tmp_path):
+def _build_cc_executor(tmp_path, mesh, train_batch_size=8):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -69,9 +70,9 @@ def test_vct0_training_on_mesh(tmp_path):
     config.model_config.model_args.prefix_length = 2
     config.tpu.compute_dtype = "float32"
     config.tpu.params_dtype = "float32"
-    config.tpu.mesh = {"data": 4, "model": 2}
+    config.tpu.mesh = mesh
     config.train.epochs = 1
-    config.train.batch_size = 8
+    config.train.batch_size = train_batch_size
     config.valid.batch_size = 8
     config.valid.step_size = 0
     config.train.additional.gradient_accumulation_steps = 1
@@ -83,10 +84,31 @@ def test_vct0_training_on_mesh(tmp_path):
     data_loader = DATA_LOADERS.get(config.data_loader.type)(config)
     data_loader.build_dataset()
     data_loader.set_dataloader()
-    executor = EXECUTORS.get(config.train.type)(config, data_loader)
+    return EXECUTORS.get(config.train.type)(config, data_loader)
+
+
+def test_vct0_training_on_mesh(tmp_path):
+    executor = _build_cc_executor(tmp_path, {"data": 4, "model": 2})
     assert executor.mesh is not None
     assert dict(executor.mesh.shape) == {"data": 4, "model": 2}
+    assert not executor.pipelined
     # LM weights actually sharded over the model axis
     q = executor.model.params["lm"]["encoder"]["self_attn"]["q"]
     assert not q.sharding.is_fully_replicated
+    executor.train()
+
+
+def test_vct0_training_on_pipelined_mesh(tmp_path):
+    # batch 6 exercises _pad_for_pipeline (pads to data x n_micro = 4 -> 8)
+    executor = _build_cc_executor(
+        tmp_path, {"data": 2, "pipe": 2, "model": 2}, train_batch_size=6
+    )
+    assert executor.mesh is not None
+    assert executor.pipelined
+    assert dict(executor.mesh.shape) == {"data": 2, "pipe": 2, "model": 2}
+    # stacked layer axis sharded over pipe, inner dims over model
+    q = executor.model.params["lm"]["encoder"]["self_attn"]["q"]
+    assert not q.sharding.is_fully_replicated
+    spec = q.sharding.spec
+    assert spec[0] == "pipe" and spec[2] == "model"
     executor.train()
