@@ -186,9 +186,33 @@ def gpipe(run_stage, x_mb: jax.Array, side_mb: Params, *,
 # Per-stage layer bodies with explicit tp collectives
 # ---------------------------------------------------------------------------
 
+def _close_block(y: jax.Array, seq: bool, dtype) -> jax.Array:
+    """Close a tp block: plain psum, or — with sequence parallelism — a
+    psum_scatter over the query/sequence axis (same comm volume as the
+    psum, but the result (and hence the residual stream, layernorms, and
+    the inter-stage ppermute transfers) is 1/tp the size)."""
+    if seq:
+        y = jax.lax.psum_scatter(
+            y, MODEL_AXIS, scatter_dimension=1, tiled=True
+        )
+    else:
+        y = jax.lax.psum(y, MODEL_AXIS)
+    return y.astype(dtype)
+
+
+def _gather_seq(x: jax.Array, seq: bool) -> jax.Array:
+    """Re-assemble the full sequence before a block's matmuls (sp only)."""
+    if seq:
+        return jax.lax.all_gather(x, MODEL_AXIS, axis=1, tiled=True)
+    return x
+
+
 def _attn_block_tp(layer_p: Params, x: jax.Array, kv_src: jax.Array,
-                   bias: jax.Array, cfg: T5Config, heads_local: int) -> jax.Array:
-    """Local head-group attention; one psum over `model` closes the block."""
+                   bias: jax.Array, cfg: T5Config, heads_local: int,
+                   seq: bool = False) -> jax.Array:
+    """Local head-group attention; one collective over `model` closes the
+    block (psum, or psum_scatter over queries under sequence parallelism).
+    ``x``/``kv_src`` must be full-sequence (callers all-gather first)."""
     q = t5_lib._project(x, layer_p["q"], heads_local)
     k = t5_lib._project(kv_src, layer_p["k"], heads_local)
     v = t5_lib._project(kv_src, layer_p["v"], heads_local)
@@ -198,10 +222,11 @@ def _attn_block_tp(layer_p: Params, x: jax.Array, kv_src: jax.Array,
         "ble,ed->bld", out, layer_p["o"].astype(x.dtype),
         preferred_element_type=jnp.float32,
     )
-    return jax.lax.psum(y, MODEL_AXIS).astype(x.dtype)
+    return _close_block(y, seq, x.dtype)
 
 
-def _ffn_block_tp(layer_p: Params, x: jax.Array, cfg: T5Config) -> jax.Array:
+def _ffn_block_tp(layer_p: Params, x: jax.Array, cfg: T5Config,
+                  seq: bool = False) -> jax.Array:
     hidden = jnp.einsum(
         "bld,df->blf", x, layer_p["wi_0"].astype(x.dtype),
         preferred_element_type=jnp.float32,
@@ -217,42 +242,55 @@ def _ffn_block_tp(layer_p: Params, x: jax.Array, cfg: T5Config) -> jax.Array:
         "blf,fd->bld", hidden, layer_p["wo"].astype(x.dtype),
         preferred_element_type=jnp.float32,
     )
-    return jax.lax.psum(y, MODEL_AXIS).astype(x.dtype)
+    return _close_block(y, seq, x.dtype)
 
 
-def _encoder_layer(cfg: T5Config, heads_local: int):
+def _encoder_layer(cfg: T5Config, heads_local: int, seq: bool = False):
+    """With ``seq`` the residual stream entering/leaving the layer is
+    sequence-sharded over `model` (megatron sequence parallelism): the
+    layernorms run on the local shard, the full sequence is all-gathered
+    only for the attention/FFN matmuls, and psum_scatter re-shards."""
     eps = cfg.layer_norm_epsilon
 
     def layer(x, side, layer_p):
-        attn_in = rms_norm(x, layer_p["ln0"], eps)
+        attn_in = _gather_seq(rms_norm(x, layer_p["ln0"], eps), seq)
         y = x + _attn_block_tp(
             layer_p["self_attn"], attn_in, attn_in, side["bias"], cfg,
-            heads_local,
+            heads_local, seq,
         )
-        ffn_in = rms_norm(y, layer_p["ln1"], eps)
-        return y + _ffn_block_tp(layer_p["ffn"], ffn_in, cfg)
+        ffn_in = _gather_seq(rms_norm(y, layer_p["ln1"], eps), seq)
+        return y + _ffn_block_tp(layer_p["ffn"], ffn_in, cfg, seq)
 
     return layer
 
 
-def _decoder_layer(cfg: T5Config, heads_local: int):
+def _decoder_layer(cfg: T5Config, heads_local: int, seq: bool = False):
     eps = cfg.layer_norm_epsilon
 
     def layer(x, side, layer_p):
-        sa_in = rms_norm(x, layer_p["ln0"], eps)
+        sa_in = _gather_seq(rms_norm(x, layer_p["ln0"], eps), seq)
         y = x + _attn_block_tp(
             layer_p["self_attn"], sa_in, sa_in, side["self_bias"], cfg,
-            heads_local,
+            heads_local, seq,
         )
-        ca_in = rms_norm(y, layer_p["ln1"], eps)
+        ca_in = _gather_seq(rms_norm(y, layer_p["ln1"], eps), seq)
         y = y + _attn_block_tp(
             layer_p["cross_attn"], ca_in, side["enc"], side["cross_bias"],
-            cfg, heads_local,
+            cfg, heads_local, seq,
         )
-        ffn_in = rms_norm(y, layer_p["ln2"], eps)
-        return y + _ffn_block_tp(layer_p["ffn"], ffn_in, cfg)
+        ffn_in = _gather_seq(rms_norm(y, layer_p["ln2"], eps), seq)
+        return y + _ffn_block_tp(layer_p["ffn"], ffn_in, cfg, seq)
 
     return layer
+
+
+def _shard_seq(x: jax.Array, tp: int) -> jax.Array:
+    """Take this device's sequence shard (axis 1) by model-axis index."""
+    if tp == 1:
+        return x
+    idx = jax.lax.axis_index(MODEL_AXIS)
+    shard = x.shape[1] // tp
+    return jax.lax.dynamic_slice_in_dim(x, idx * shard, shard, axis=1)
 
 
 def _stage_runner(layer, stacked_local):
@@ -282,16 +320,21 @@ def t5_forward_loss_pp(
     inputs_embeds: jax.Array,           # (B, L, D)
     attention_mask: Optional[jax.Array] = None,
     n_micro: int = 2,
+    sequence_parallel: bool = False,
 ) -> jax.Array:
     """Pipelined twin of t5.t5_forward_loss (same math, 3-D parallel).
 
     Call under jit with `mesh` active. Requires: encoder AND decoder layer
     counts divisible by the pipe size, num_heads and d_ff divisible by the
-    model size, per-data-shard batch divisible by n_micro.
+    model size, per-data-shard batch divisible by n_micro. With
+    ``sequence_parallel`` (and model > 1) the residual stream inside
+    stages is sequence-sharded over `model` (encoder length and target
+    length must then divide the model size).
     """
     dp = mesh.shape[DATA_AXIS]
     pp = mesh.shape[PIPE_AXIS]
     tp = mesh.shape[MODEL_AXIS]
+    seq = bool(sequence_parallel) and tp > 1
     if cfg.num_encoder_layers % pp or cfg.num_decoder_layers % pp:
         raise ValueError(
             f"layers ({cfg.num_encoder_layers}/{cfg.num_decoder_layers}) "
@@ -309,6 +352,11 @@ def t5_forward_loss_pp(
         )
     heads_local = cfg.num_heads // tp
     enc_len = inputs_embeds.shape[1]
+    if seq and (enc_len % tp or labels.shape[1] % tp):
+        raise ValueError(
+            f"sequence_parallel: enc_len={enc_len} / tgt_len="
+            f"{labels.shape[1]} not divisible by model={tp}"
+        )
     if attention_mask is None:
         attention_mask = jnp.ones((batch, enc_len), dtype=jnp.int32)
 
@@ -331,15 +379,19 @@ def t5_forward_loss_pp(
             "ln0": enc_p["ln0"], "ln1": enc_p["ln1"],
         }
         run_enc = _stage_runner(
-            _encoder_layer(cfg, heads_local), enc_stacked
+            _encoder_layer(cfg, heads_local, seq), enc_stacked
         )
         y_mb = gpipe(
-            run_enc, _microbatch(x, m), {"bias": _microbatch(enc_bias, m)},
+            run_enc, _microbatch(_shard_seq(x, tp) if seq else x, m),
+            {"bias": _microbatch(enc_bias, m)},
             axis_name=PIPE_AXIS, n_stages=pp, n_micro=m,
         )
+        y_full = y_mb.reshape(b_loc, y_mb.shape[2], -1)
+        if seq:
+            y_full = jax.lax.all_gather(y_full, MODEL_AXIS, axis=1,
+                                        tiled=True)
         enc_hidden = rms_norm(
-            y_mb.reshape(b_loc, length, -1), enc_p["final_ln"],
-            cfg.layer_norm_epsilon,
+            y_full, enc_p["final_ln"], cfg.layer_norm_epsilon
         )
 
         # ---- decoder pipeline ----
@@ -365,7 +417,7 @@ def t5_forward_loss_pp(
             "ln0": dec_p["ln0"], "ln1": dec_p["ln1"], "ln2": dec_p["ln2"],
         }
         run_dec = _stage_runner(
-            _decoder_layer(cfg, heads_local), dec_stacked
+            _decoder_layer(cfg, heads_local, seq), dec_stacked
         )
         side_d = {
             "enc": _microbatch(enc_hidden, m),
@@ -373,12 +425,15 @@ def t5_forward_loss_pp(
             "cross_bias": _microbatch(cross_bias, m),
         }
         yd_mb = gpipe(
-            run_dec, _microbatch(xd, m), side_d,
-            axis_name=PIPE_AXIS, n_stages=pp, n_micro=m,
+            run_dec, _microbatch(_shard_seq(xd, tp) if seq else xd, m),
+            side_d, axis_name=PIPE_AXIS, n_stages=pp, n_micro=m,
         )
+        yd_full = yd_mb.reshape(b_loc, yd_mb.shape[2], -1)
+        if seq:
+            yd_full = jax.lax.all_gather(yd_full, MODEL_AXIS, axis=1,
+                                         tiled=True)
         hidden = rms_norm(
-            yd_mb.reshape(b_loc, qlen, -1), dec_p["final_ln"],
-            cfg.layer_norm_epsilon,
+            yd_full, dec_p["final_ln"], cfg.layer_norm_epsilon
         )
 
         # ---- logits + token-weighted CE, reduced over the data axis ----
@@ -411,6 +466,7 @@ def vct0_caption_loss_pp(
     clip_embeddings: jax.Array,     # (B, prefix_size)
     labels: jax.Array,              # (B, T)
     n_micro: int = 2,
+    sequence_parallel: bool = False,
 ) -> jax.Array:
     """Pipelined twin of vct0.vct0_caption_loss: mapper (replicated, tiny)
     projects the CLIP embedding into prefix token embeddings outside the
@@ -425,5 +481,5 @@ def vct0_caption_loss_pp(
     ).astype(cfg.lm.dtype)
     return t5_forward_loss_pp(
         lm_params, cfg.lm, mesh, labels, inputs_embeds=prefix_embeds,
-        n_micro=n_micro,
+        n_micro=n_micro, sequence_parallel=sequence_parallel,
     )

@@ -41,6 +41,7 @@ class BaseExecutor(MetricsProcessor):
         self.mesh = None  # set by _setup_mesh when >1 device is available
         self.pipelined = False  # 3-D (data, pipe, model) GPipe mesh active
         self.n_micro = 1
+        self.sequence_parallel = False
 
     def _setup_mesh(self, model: Any) -> None:
         """Place params on the device mesh when multiple devices exist:
@@ -83,6 +84,9 @@ class BaseExecutor(MetricsProcessor):
             self.pipelined = True
             self.n_micro = int(
                 self.config.get("tpu", {}).get("n_micro", 2) or 2
+            )
+            self.sequence_parallel = bool(
+                self.config.get("tpu", {}).get("sequence_parallel", False)
             )
             model.params["lm"] = shard_lm_params_pp(self.mesh,
                                                     model.params["lm"])

@@ -71,11 +71,12 @@ class VCT0Executor(BaseExecutor):
         from ..parallel.pipeline import vct0_caption_loss_pp
 
         mesh, n_micro = self.mesh, self.n_micro
+        sp = self.sequence_parallel
 
         def loss_fn(mapper_params, lm_params, cfg, clip, labels):
             return vct0_caption_loss_pp(
                 mapper_params, lm_params, cfg, mesh, clip, labels,
-                n_micro=n_micro,
+                n_micro=n_micro, sequence_parallel=sp,
             )
 
         return loss_fn

@@ -94,6 +94,74 @@ class TestForwardParity:
                 np.testing.assert_allclose(float(loss), ref, rtol=2e-4)
 
 
+class TestSequenceParallel:
+    """sp: residual stream sequence-sharded over `model` inside stages
+    (all_gather before matmuls, psum_scatter after) — same loss."""
+
+    @pytest.fixture(scope="class")
+    def sp_setup(self):
+        cfg = small_cfg()
+        params = init_t5_params(jax.random.PRNGKey(2), cfg,
+                                param_dtype=jnp.float32)
+        rng = np.random.default_rng(2)
+        batch, enc_len, tgt_len = 8, 8, 4  # divisible by tp in (2, 4)
+        embeds = jnp.asarray(rng.standard_normal(
+            (batch, enc_len, cfg.d_model)).astype(np.float32))
+        mask = jnp.asarray(
+            (rng.random((batch, enc_len)) > 0.2).astype(np.int32)
+        ).at[:, 0].set(1)
+        labels = np.asarray(
+            rng.integers(2, cfg.vocab_size, size=(batch, tgt_len)),
+            dtype=np.int32)
+        labels[:, -1] = -100
+        labels = jnp.asarray(labels)
+        ref = t5_forward_loss(params, cfg, labels, inputs_embeds=embeds,
+                              attention_mask=mask)
+        return cfg, params, embeds, mask, labels, float(ref)
+
+    @pytest.mark.parametrize("dp,pp,tp,n_micro",
+                             [(2, 2, 2, 2), (1, 2, 4, 2), (2, 1, 4, 2)])
+    def test_sp_loss_matches(self, sp_setup, dp, pp, tp, n_micro):
+        cfg, params, embeds, mask, labels, ref = sp_setup
+        mesh = make_mesh_3d(8, dp, pp, tp)
+        with mesh:
+            sharded = shard_lm_params_pp(mesh, params)
+            loss = jax.jit(
+                lambda p, e, l, m: t5_forward_loss_pp(
+                    p, cfg, mesh, l, e, m, n_micro=n_micro,
+                    sequence_parallel=True)
+            )(sharded, embeds, labels, mask)
+        np.testing.assert_allclose(float(loss), ref, rtol=2e-4)
+
+    def test_sp_indivisible_length_raises(self, sp_setup):
+        cfg, params, embeds, mask, labels, _ = sp_setup
+        mesh = make_mesh_3d(8, 2, 2, 2)
+        with pytest.raises(ValueError, match="sequence_parallel"):
+            t5_forward_loss_pp(params, cfg, mesh, labels, embeds[:, :7],
+                               mask[:, :7], sequence_parallel=True)
+
+    def test_sp_grads_flow(self, sp_setup):
+        cfg, params, embeds, mask, labels, _ = sp_setup
+        mesh = make_mesh_3d(8, 2, 2, 2)
+        with mesh:
+            sharded = shard_lm_params_pp(mesh, params)
+
+            def loss_of_embeds(e):
+                return t5_forward_loss_pp(
+                    sharded, cfg, mesh, labels, e, mask, n_micro=2,
+                    sequence_parallel=True)
+
+            g_sp = jax.jit(jax.grad(loss_of_embeds))(embeds)
+
+        def ref_loss(e):
+            return t5_forward_loss(params, cfg, labels, inputs_embeds=e,
+                                   attention_mask=mask)
+
+        g_ref = jax.grad(ref_loss)(embeds)
+        np.testing.assert_allclose(np.asarray(g_sp), np.asarray(g_ref),
+                                   rtol=5e-3, atol=1e-5)
+
+
 class TestValidation:
     def test_indivisible_layers_raise(self, setup):
         cfg, params, embeds, mask, labels, _ = setup
