@@ -293,12 +293,18 @@ def _shard_seq(x: jax.Array, tp: int) -> jax.Array:
     return jax.lax.dynamic_slice_in_dim(x, idx * shard, shard, axis=1)
 
 
-def _stage_runner(layer, stacked_local):
+def _stage_runner(layer, stacked_local, remat: bool = False):
+    """Scan this stage's local layer shard; with ``remat`` each layer is
+    rematerialized in the backward pass (same lever as T5Config.remat on
+    the single-chip path — trades recompute for not storing per-layer
+    attention/FFN residuals across the GPipe schedule)."""
+
     def run(x, side):
         def body(c, p):
             return layer(c, side, p), None
 
-        y, _ = jax.lax.scan(body, x, stacked_local)
+        scanned = jax.checkpoint(body) if remat else body
+        y, _ = jax.lax.scan(scanned, x, stacked_local)
         return y
 
     return run
@@ -379,7 +385,8 @@ def t5_forward_loss_pp(
             "ln0": enc_p["ln0"], "ln1": enc_p["ln1"],
         }
         run_enc = _stage_runner(
-            _encoder_layer(cfg, heads_local, seq), enc_stacked
+            _encoder_layer(cfg, heads_local, seq), enc_stacked,
+            remat=cfg.remat,
         )
         y_mb = gpipe(
             run_enc, _microbatch(_shard_seq(x, tp) if seq else x, m),
@@ -417,7 +424,8 @@ def t5_forward_loss_pp(
             "ln0": dec_p["ln0"], "ln1": dec_p["ln1"], "ln2": dec_p["ln2"],
         }
         run_dec = _stage_runner(
-            _decoder_layer(cfg, heads_local, seq), dec_stacked
+            _decoder_layer(cfg, heads_local, seq), dec_stacked,
+            remat=cfg.remat,
         )
         side_d = {
             "enc": _microbatch(enc_hidden, m),

@@ -81,6 +81,33 @@ class TestForwardParity:
         assert np.isfinite(float(loss))
         np.testing.assert_allclose(float(loss), ref, rtol=2e-4)
 
+    def test_remat_grads_match(self, setup):
+        """cfg.remat inside pipeline stages: identical loss AND identical
+        input-gradients (remat changes memory, not math)."""
+        import dataclasses
+
+        cfg, params, embeds, mask, labels, ref = setup
+        cfg_r = dataclasses.replace(cfg, remat=True)
+        mesh = make_mesh_3d(8, 2, 2, 2)
+        with mesh:
+            sharded = shard_lm_params_pp(mesh, params)
+
+            def loss_of_embeds(e):
+                return t5_forward_loss_pp(
+                    sharded, cfg_r, mesh, labels, e, mask, n_micro=2)
+
+            loss, g = jax.jit(
+                jax.value_and_grad(loss_of_embeds))(embeds)
+
+            def loss_plain(e):
+                return t5_forward_loss_pp(
+                    sharded, cfg, mesh, labels, e, mask, n_micro=2)
+
+            loss0, g0 = jax.jit(jax.value_and_grad(loss_plain))(embeds)
+        np.testing.assert_allclose(float(loss), float(loss0), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g0),
+                                   rtol=1e-5, atol=1e-7)
+
     def test_n_micro_invariance(self, setup):
         cfg, params, embeds, mask, labels, ref = setup
         mesh = make_mesh_3d(8, 2, 2, 2)
