@@ -1,4 +1,4 @@
-"""TWO-PROCESS jax.distributed test of the eval-prediction gather.
+"""MULTI-PROCESS (2 and 4) jax.distributed test of the eval-prediction gather.
 
 Round-1 review finding: parallel/multihost.py and parallel/gather.py had
 never executed with process_count > 1, yet the VQA eval protocol
@@ -28,8 +28,8 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_gather(tmp_path):
-    nprocs = 2
+@pytest.mark.parametrize("nprocs", [2, 4])
+def test_multi_process_gather(tmp_path, nprocs):
     port = _free_port()
     procs = []
     for pid in range(nprocs):
@@ -72,4 +72,7 @@ def test_two_process_gather(tmp_path):
         assert f"worker {pid}/{nprocs} OK" in out
     # host 0 ran the official full-coverage invariant and recorded success
     assert (tmp_path / "host0_ok").exists()
-    assert "gathered=10" in (tmp_path / "host0_ok").read_text()
+    from gather_worker import SHARD_SIZES
+
+    total = sum(SHARD_SIZES[:nprocs])
+    assert f"gathered={total}" in (tmp_path / "host0_ok").read_text()
