@@ -57,7 +57,14 @@ local conceptual_captions = {
     "output_modules": {"module_list": [], "postprocess_module_list": []},
   },
   "tpu": {
-    "mesh": {"data": -1, "model": 1},
+    // Device mesh axes for pjit; -1 = "all remaining devices". Setting
+    // "pipe" > 1 builds a 3-D (data, pipe, model) mesh and trains through
+    // the GPipe pipeline (parallel/pipeline.py); "n_micro" sets the
+    // microbatch count and "sequence_parallel" sequence-shards the
+    // residual stream over the model axis inside stages.
+    "mesh": {"data": -1, "pipe": 1, "model": 1},
+    "n_micro": 2,
+    "sequence_parallel": false,
     "compute_dtype": "bfloat16",
     "params_dtype": "bfloat16",
     "length_buckets": [32, 64, 128],

@@ -94,7 +94,9 @@ local caption_features = {
   },
   "tpu": {
     // Device mesh axes for pjit. Sizes of -1 mean "all remaining devices".
-    "mesh": {"data": -1, "model": 1},
+    // "pipe" > 1 selects the 3-D GPipe training mesh (see the CC config;
+    // eval/generate paths use (data, model) — decode does not pipeline).
+    "mesh": {"data": -1, "pipe": 1, "model": 1},
     "compute_dtype": "bfloat16",
     "params_dtype": "bfloat16",
     "length_buckets": [128, 256, 512, 1024],
