@@ -14,10 +14,13 @@ Methodology notes (verified on the axon-tunnelled v5e):
   * inputs are generated ON device — host->device transfer of GB-scale
     random data over the tunnel would dominate and isn't part of the
     metric;
-  * each timed step encodes K stacked batches under one ``lax.scan`` and
-    reduces to a checksum that is FETCHED to host — through this runtime,
-    ``block_until_ready`` alone does not reliably force remote execution,
-    so only data fetches are trusted as synchronization points.
+  * each timed step encodes K=16 stacked batches under one ``lax.scan``
+    and reduces to a checksum that is FETCHED to host — through this
+    runtime, ``block_until_ready`` alone does not reliably force remote
+    execution, so only data fetches are trusted as synchronization
+    points. K=16 amortizes the tunnel's per-call overhead (~55 ms),
+    which at K=4 was suppressing both this metric and the measured
+    ceiling by ~14% / ~33% respectively.
 
 Prints exactly ONE JSON line to stdout:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -30,9 +33,12 @@ import sys
 import time
 
 
-# Measured bf16 dense ceiling of this v5e chip (ViT-shaped matmul stack,
-# measured in round 1 — see PARITY.md); used for MFU-style reporting.
-MEASURED_CEILING_TFLOPS = 128.0
+# Measured bf16 dense ceiling of this v5e chip: ViT-shaped matmul stack
+# (1024x64x768 x 32 layers) under a 32-iteration lax.scan per fetch, so
+# per-call relay overhead is amortized away — 190.6 TFLOP/s = 96.7% of
+# the v5e datasheet peak (197). Round 1's "128" figure used only 4 scan
+# iterations per fetch and was depressed ~33% by tunnel overhead.
+MEASURED_CEILING_TFLOPS = 190.6
 
 
 def vit_flops_per_image(cfg) -> float:
@@ -45,7 +51,7 @@ def vit_flops_per_image(cfg) -> float:
     return float(cfg.num_layers * per_layer + patch_embed + proj)
 
 
-def bench_vision(cfg_name: str, batch_size: int, k_batches: int = 4,
+def bench_vision(cfg_name: str, batch_size: int, k_batches: int = 16,
                  trials: int = 3, use_pallas: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
