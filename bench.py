@@ -63,7 +63,8 @@ def bench_vision(cfg_name: str, batch_size: int, k_batches: int = 16,
     )
 
     cfg = getattr(CLIPVisionConfig, cfg_name)(
-        dtype=jnp.bfloat16, fast_attention=True, fused_attention=True
+        dtype=jnp.bfloat16, fast_attention=True, fused_attention=True,
+        fused_block=True,
     )
     flops_per_image = vit_flops_per_image(cfg)
     params = init_clip_vision_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)

@@ -50,6 +50,14 @@ class CLIPVisionConfig:
     # enough for whole-sequence scores in VMEM (seq <= 128) and the batch
     # divides the kernel group size; falls back to the XLA path otherwise.
     fused_attention: bool = False
+    # Whole encoder block (LN1 + attention + LN2 + MLP + residuals) as ONE
+    # Pallas program (ops/fused_attention_block.py::fused_vit_block):
+    # bf16-operand matmuls with fp32 accumulation; the residual stream,
+    # scores, and gelu hidden never touch HBM. Supersedes fused_attention
+    # for short sequences (seq <= 128); falls back to fused_attention /
+    # XLA otherwise.
+    fused_block: bool = False
+    fused_block_group: int = 0   # images per program; 0 = auto
 
     @property
     def grid(self) -> int:
@@ -121,9 +129,27 @@ def _fused_group(batch: int) -> int:
 
 
 def _encoder_block(layer_p, x, bias, num_heads, eps, use_pallas=False,
-                   fast_attention=False, fused_attention=False):
+                   fast_attention=False, fused_attention=False,
+                   fused_block=False, fused_block_group=0):
     dt = x.dtype
     head_dim = x.shape[-1] // num_heads
+
+    if fused_block and bias is None and x.shape[1] <= 128:
+        from ..ops.fused_attention_block import fused_vit_block
+
+        return fused_vit_block(
+            x, layer_p["ln1_scale"], layer_p["ln1_bias"],
+            layer_p["q"], layer_p["q_bias"],
+            layer_p["k"], layer_p["k_bias"],
+            layer_p["v"], layer_p["v_bias"],
+            layer_p["o"], layer_p["o_bias"],
+            layer_p["ln2_scale"], layer_p["ln2_bias"],
+            layer_p["mlp_fc"], layer_p["mlp_fc_bias"],
+            layer_p["mlp_proj"], layer_p["mlp_proj_bias"],
+            num_heads=num_heads,
+            group=fused_block_group or _fused_group(x.shape[0]),
+            eps=eps,
+        )
 
     ln1 = _layer_norm(x, layer_p["ln1_scale"], layer_p["ln1_bias"], eps)
 
@@ -306,6 +332,8 @@ def clip_encode_image(
             layer_p, carry, None, cfg.num_heads, cfg.layer_norm_epsilon,
             use_pallas=use_pallas, fast_attention=cfg.fast_attention,
             fused_attention=cfg.fused_attention,
+            fused_block=cfg.fused_block,
+            fused_block_group=cfg.fused_block_group,
         ), None
 
     x, _ = jax.lax.scan(layer, x, params["blocks"])

@@ -328,6 +328,142 @@ def _t5_attention_core_bwd(num_heads, residuals, d_out):
 t5_attention_core_vjp.defvjp(_t5_attention_core_fwd, _t5_attention_core_bwd)
 
 
+def _make_vit_block_kernel(group: int, seq: int, num_heads: int,
+                           head_dim: int, scale: float, eps: float,
+                           out_dtype):
+    """Whole transformer block in one program: LN1 + QKV + block-diagonal
+    attention + out-proj + residual + LN2 + MLP(quickGELU) + residual.
+
+    All matmul operands are bf16 (full-rate MXU) with fp32 accumulation;
+    layer norms, softmax, and the residual stream stay fp32 in VMEM. HBM
+    traffic per block is one read + one write of x plus the (grid-constant)
+    weights — the LN/gelu/residual tensors XLA was round-tripping per
+    layer never leave VMEM.
+    """
+    d_model = num_heads * head_dim
+    gl = group * seq
+
+    def kernel(x_ref, ln1s_ref, ln1b_ref,
+               wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+               wo_ref, bo_ref, ln2s_ref, ln2b_ref,
+               wfc_ref, bfc_ref, wproj_ref, bproj_ref, o_ref):
+        x32 = x_ref[:].reshape(gl, d_model).astype(jnp.float32)
+
+        def ln(z, s_ref, b_ref):
+            m = jnp.mean(z, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(z - m), axis=-1, keepdims=True)
+            return ((z - m) * jax.lax.rsqrt(var + eps)
+                    * s_ref[:].astype(jnp.float32)
+                    + b_ref[:].astype(jnp.float32))
+
+        h = ln(x32, ln1s_ref, ln1b_ref).astype(jnp.bfloat16)
+
+        def proj(w_ref, b_ref):
+            return jax.lax.dot_general(
+                h, w_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b_ref[:].astype(jnp.float32)
+
+        q = proj(wq_ref, bq_ref) * jnp.float32(scale)
+        k = proj(wk_ref, bk_ref)
+        v = proj(wv_ref, bv_ref)
+
+        row_img = jax.lax.broadcasted_iota(jnp.int32, (gl, gl), 0) // seq
+        col_img = jax.lax.broadcasted_iota(jnp.int32, (gl, gl), 1) // seq
+        blockmask = jnp.where(row_img == col_img, 0.0, -1e30)
+
+        outs = []
+        for hd in range(num_heads):
+            sl = slice(hd * head_dim, (hd + 1) * head_dim)
+            s = jax.lax.dot_general(
+                q[:, sl].astype(jnp.bfloat16), k[:, sl].astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + blockmask                               # (GL, GL) fp32
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+            outs.append(jax.lax.dot_general(
+                p, v[:, sl].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        attn = jnp.concatenate(outs, axis=-1).astype(jnp.bfloat16)
+        y = jax.lax.dot_general(
+            attn, wo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bo_ref[:].astype(jnp.float32)
+        r1 = x32 + y                                    # residual 1 (fp32)
+
+        h2 = ln(r1, ln2s_ref, ln2b_ref).astype(jnp.bfloat16)
+        hid = jax.lax.dot_general(
+            h2, wfc_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bfc_ref[:].astype(jnp.float32)
+        hid = (hid * jax.nn.sigmoid(1.702 * hid)).astype(jnp.bfloat16)
+        mlp = jax.lax.dot_general(
+            hid, wproj_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bproj_ref[:].astype(jnp.float32)
+        o_ref[:] = (r1 + mlp).reshape(group, seq, d_model).astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "group", "eps", "interpret")
+)
+def fused_vit_block(
+    x: jax.Array,            # (B, L, D) — PRE-LN residual stream
+    ln1_scale: jax.Array, ln1_bias: jax.Array,
+    wq: jax.Array, bq: jax.Array,
+    wk: jax.Array, bk: jax.Array,
+    wv: jax.Array, bv: jax.Array,
+    wo: jax.Array, bo: jax.Array,
+    ln2_scale: jax.Array, ln2_bias: jax.Array,
+    w_fc: jax.Array, b_fc: jax.Array,
+    w_proj: jax.Array, b_proj: jax.Array,
+    num_heads: int,
+    group: int = 4,
+    eps: float = 1e-5,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Full pre-LN ViT encoder block (CLIP semantics, quickGELU) as one
+    Pallas program. Returns x + Attn(LN1(x)) + MLP(LN2(x + Attn(LN1(x)))).
+    Weight arguments must be bf16 (or will be cast); requires
+    B % group == 0 and short sequences (whole-group scores fit VMEM)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, seq, d_model = x.shape
+    assert batch % group == 0, (batch, group)
+    head_dim = d_model // num_heads
+    scale = head_dim ** -0.5
+    d_ff = w_fc.shape[1]
+    bf = jnp.bfloat16
+    kernel = _make_vit_block_kernel(group, seq, num_heads, head_dim,
+                                    scale, eps, x.dtype)
+    xspec = pl.BlockSpec((group, seq, d_model), lambda i: (i, 0, 0))
+    mat = pl.BlockSpec((d_model, d_model), lambda i: (0, 0))
+    vec = pl.BlockSpec((d_model,), lambda i: (0,))
+    ff_vec = pl.BlockSpec((d_ff,), lambda i: (0,))
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // group,),
+        in_specs=[
+            xspec, vec, vec,
+            mat, vec, mat, vec, mat, vec, mat, vec,
+            vec, vec,
+            pl.BlockSpec((d_model, d_ff), lambda i: (0, 0)), ff_vec,
+            pl.BlockSpec((d_ff, d_model), lambda i: (0, 0)), vec,
+        ],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((batch, seq, d_model), x.dtype),
+        interpret=interpret,
+    )(x, ln1_scale, ln1_bias,
+      wq.astype(bf), bq, wk.astype(bf), bk, wv.astype(bf), bv,
+      wo.astype(bf), bo, ln2_scale, ln2_bias,
+      w_fc.astype(bf), b_fc, w_proj.astype(bf), b_proj)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "group", "interpret", "compute_dtype",

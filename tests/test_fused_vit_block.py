@@ -1,0 +1,94 @@
+"""fused_vit_block (whole encoder block in one Pallas program) parity.
+
+The kernel fuses LN1 + QKV + block-diagonal attention + out-projection +
+residual + LN2 + MLP(quickGELU) + residual; these tests run it in
+interpret mode on CPU against the pure-XLA `_encoder_block` math and
+through the full `clip_encode_image` tower.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from explicit_alignment_for_vqa_tasks_tpu.models.clip import (  # noqa: E402
+    CLIPVisionConfig,
+    _encoder_block,
+    clip_encode_image,
+    init_clip_vision_params,
+)
+from explicit_alignment_for_vqa_tasks_tpu.ops.fused_attention_block import (  # noqa: E402
+    fused_vit_block,
+)
+
+
+def _layer0(cfg, key=0, dtype=jnp.float32):
+    params = init_clip_vision_params(jax.random.PRNGKey(key), cfg, dtype)
+    return jax.tree.map(lambda a: a[0], params["blocks"])
+
+
+def _run_fused(x, lp, num_heads, group):
+    return fused_vit_block(
+        x, lp["ln1_scale"], lp["ln1_bias"],
+        lp["q"], lp["q_bias"], lp["k"], lp["k_bias"],
+        lp["v"], lp["v_bias"], lp["o"], lp["o_bias"],
+        lp["ln2_scale"], lp["ln2_bias"],
+        lp["mlp_fc"], lp["mlp_fc_bias"],
+        lp["mlp_proj"], lp["mlp_proj_bias"],
+        num_heads=num_heads, group=group, interpret=True,
+    )
+
+
+@pytest.mark.parametrize("group", [1, 2, 4])
+def test_fused_vit_block_matches_xla_block(group):
+    cfg = CLIPVisionConfig.small_test()
+    lp = _layer0(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal(
+            (8, cfg.seq_len, cfg.width)
+        ).astype(np.float32)
+    )
+    ref = _encoder_block(lp, x, None, cfg.num_heads, 1e-5)
+    got = _run_fused(x, lp, cfg.num_heads, group)
+    # bf16 matmul operands inside the kernel vs fp32 XLA: bf16-level tol
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)
+    cos = (np.asarray(got) * np.asarray(ref)).sum(-1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(ref, axis=-1)
+    )
+    assert np.all(cos > 0.999), cos.min()
+
+
+def test_fused_block_tower_matches_exact():
+    cfg = CLIPVisionConfig.small_test()
+    params = init_clip_vision_params(jax.random.PRNGKey(2), cfg, jnp.float32)
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(
+        rng.standard_normal((4, 28, 28, 3)).astype(np.float32)
+    )
+    exact = np.asarray(clip_encode_image(params, cfg, images))
+    fused_cfg = dataclasses.replace(cfg, fused_block=True,
+                                    fused_block_group=2)
+    fused = np.asarray(clip_encode_image(params, fused_cfg, images))
+    cos = (exact * fused).sum(-1) / (
+        np.linalg.norm(exact, axis=-1) * np.linalg.norm(fused, axis=-1)
+    )
+    assert np.all(cos > 0.999), cos
+
+
+def test_fused_block_falls_back_on_long_sequences():
+    # patch 2 @ 28px -> 197 tokens > 128: must take the non-fused path
+    # (and still be numerically exact vs default)
+    cfg = CLIPVisionConfig.small_test(patch_size=2)
+    params = init_clip_vision_params(jax.random.PRNGKey(4), cfg, jnp.float32)
+    rng = np.random.default_rng(5)
+    images = jnp.asarray(
+        rng.standard_normal((2, 28, 28, 3)).astype(np.float32)
+    )
+    exact = np.asarray(clip_encode_image(params, cfg, images))
+    fused_cfg = dataclasses.replace(cfg, fused_block=True)
+    fused = np.asarray(clip_encode_image(params, fused_cfg, images))
+    np.testing.assert_allclose(fused, exact, rtol=1e-5, atol=1e-5)
