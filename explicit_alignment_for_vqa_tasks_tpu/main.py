@@ -120,6 +120,13 @@ def main(config) -> None:
     from .parallel.multihost import maybe_initialize_distributed
     from .utils.compilation_cache import enable_compilation_cache
 
+    if config.get("tpu", {}).get("fused_ffn", False):
+        # the fused T5 FFN kernel holds all three weight matrices in
+        # VMEM (~63 MB bf16 at T0-3B widths) — must raise the scoped
+        # budget before the backend initializes
+        from .utils.tpu_flags import ensure_scoped_vmem_limit
+
+        ensure_scoped_vmem_limit(98304)
     enable_compilation_cache(
         config.get("tpu", {}).get("compilation_cache_dir", "")
     )

@@ -134,6 +134,36 @@ def _encoder_block(layer_p, x, bias, num_heads, eps, use_pallas=False,
     dt = x.dtype
     head_dim = x.shape[-1] // num_heads
 
+    if fused_block and bias is None and x.shape[1] > 128:
+        # long sequences: scores for a whole image group don't fit VMEM
+        # alongside the block weights, so split into the fused attention
+        # core (projections in XLA) + the fused MLP program. The MLP
+        # kernel needs a raised scoped-VMEM limit at production widths
+        # (utils/tpu_flags.ensure_scoped_vmem_limit).
+        from ..ops.fused_attention_block import attention_core, fused_mlp_block
+
+        ln1 = _layer_norm(x, layer_p["ln1_scale"], layer_p["ln1_bias"], eps)
+        q = jnp.einsum("bld,de->ble", ln1, layer_p["q"].astype(dt),
+                       preferred_element_type=jnp.float32).astype(dt)
+        q = q + layer_p["q_bias"].astype(dt)
+        k = jnp.einsum("bld,de->ble", ln1, layer_p["k"].astype(dt),
+                       preferred_element_type=jnp.float32).astype(dt)
+        k = k + layer_p["k_bias"].astype(dt)
+        v = jnp.einsum("bld,de->ble", ln1, layer_p["v"].astype(dt),
+                       preferred_element_type=jnp.float32).astype(dt)
+        v = v + layer_p["v_bias"].astype(dt)
+        attn = attention_core(q * (head_dim ** -0.5), k, v, num_heads,
+                              group=1)
+        attn = jnp.einsum("ble,ed->bld", attn, layer_p["o"].astype(dt),
+                          preferred_element_type=jnp.float32).astype(dt)
+        x = x + attn + layer_p["o_bias"].astype(dt)
+        return fused_mlp_block(
+            x, layer_p["ln2_scale"], layer_p["ln2_bias"],
+            layer_p["mlp_fc"], layer_p["mlp_fc_bias"],
+            layer_p["mlp_proj"], layer_p["mlp_proj_bias"],
+            group=1, eps=eps,
+        )
+
     if fused_block and bias is None and x.shape[1] <= 128:
         from ..ops.fused_attention_block import fused_vit_block
 

@@ -65,6 +65,14 @@ class T5Config:
     # per (batch row, layer) with the layer index as a scalar-prefetch
     # block offset.
     fused_decode_attention: bool = False
+    # fused Pallas encoder FFN (ops/fused_attention_block.py::fused_t5_ffn):
+    # RMS-norm + gated-gelu FFN + residual in one program with all three
+    # weight matrices resident in VMEM (~63 MB bf16 at T0-3B widths —
+    # requires utils/tpu_flags.ensure_scoped_vmem_limit(98304) BEFORE
+    # backend init). Differentiable via fused_t5_ffn_vjp (recompute
+    # backward). Encoder-only; the decoder's one-token steps don't
+    # benefit.
+    fused_encoder_ffn: bool = False
 
     @classmethod
     def t0_3b(cls, **kw) -> "T5Config":
@@ -264,6 +272,21 @@ def _attn_block(
                       preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+def _encoder_ffn(layer_p: Params, y: jax.Array, cfg: T5Config) -> jax.Array:
+    """RMS-norm + FFN + residual; Pallas-fused when cfg.fused_encoder_ffn."""
+    if cfg.fused_encoder_ffn:
+        from ..ops.fused_attention_block import fused_t5_ffn_vjp
+
+        ffn_p = layer_p["ffn"]
+        return fused_t5_ffn_vjp(
+            y, layer_p["ln1"], ffn_p["wi_0"],
+            ffn_p["wi_1"] if cfg.is_gated_act else None,
+            ffn_p["wo"], cfg.layer_norm_epsilon,
+        )
+    ffn_in = rms_norm(y, layer_p["ln1"], cfg.layer_norm_epsilon)
+    return y + _ffn_block(layer_p["ffn"], ffn_in, cfg)
+
+
 def _ffn_block(layer_p: Params, x: jax.Array, cfg: T5Config) -> jax.Array:
     wi_0 = layer_p["wi_0"].astype(x.dtype)
     wo = layer_p["wo"].astype(x.dtype)
@@ -335,8 +358,7 @@ def t5_encode(
                 "ble,ed->bld", attn, p["o"].astype(y.dtype),
                 preferred_element_type=jnp.float32,
             ).astype(y.dtype)
-            ffn_in = rms_norm(y, layer_p["ln1"], cfg.layer_norm_epsilon)
-            y = y + _ffn_block(layer_p["ffn"], ffn_in, cfg)
+            y = _encoder_ffn(layer_p, y, cfg)
             return y, (y if collect_hiddens else None)
     else:
         mask_bias = jnp.where(
@@ -349,8 +371,7 @@ def t5_encode(
             attn_in = rms_norm(y, layer_p["ln0"], cfg.layer_norm_epsilon)
             y = y + _attn_block(layer_p["self_attn"], attn_in, attn_in,
                                 bias, cfg)
-            ffn_in = rms_norm(y, layer_p["ln1"], cfg.layer_norm_epsilon)
-            y = y + _ffn_block(layer_p["ffn"], ffn_in, cfg)
+            y = _encoder_ffn(layer_p, y, cfg)
             return y, (y if collect_hiddens else None)
 
     if cfg.remat:

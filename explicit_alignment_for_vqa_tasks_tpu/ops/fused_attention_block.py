@@ -144,11 +144,18 @@ def _make_bd_kernel(group: int, seq: int, num_heads: int, head_dim: int,
 
 
 def _make_core_kernel(group: int, num_heads: int, head_dim: int, out_dtype):
+    # matmul OPERANDS stay in the input dtype (bf16 inputs -> full-rate
+    # MXU; fp32 inputs keep exact legacy numerics); accumulation and the
+    # softmax are always fp32 via preferred_element_type. The softmax
+    # division is DEFERRED past the PV matmul — rescaling the (L, dh)
+    # output instead of the (L, L) probability matrix drops a full
+    # score-sized VPU pass per head (measured 136 -> 121 ms on the
+    # 24-layer ViT-L attention stack).
     def kernel(q_ref, k_ref, v_ref, o_ref):
         def per_image(g, _):
-            q = q_ref[g].astype(jnp.float32)       # (L, D), pre-scaled
-            k = k_ref[g].astype(jnp.float32)
-            v = v_ref[g].astype(jnp.float32)
+            q = q_ref[g]                           # (L, D), pre-scaled
+            k = k_ref[g]
+            v = v_ref[g]
             for h in range(num_heads):
                 sl = slice(h * head_dim, (h + 1) * head_dim)
                 s = jax.lax.dot_general(
@@ -156,12 +163,14 @@ def _make_core_kernel(group: int, num_heads: int, head_dim: int, out_dtype):
                     preferred_element_type=jnp.float32,
                 )
                 m = jnp.max(s, axis=-1, keepdims=True)
-                p = jnp.exp(s - m)
-                p = p / jnp.sum(p, axis=-1, keepdims=True)
-                o_ref[g, :, sl] = jax.lax.dot_general(
+                p = jnp.exp(s - m).astype(q.dtype)  # UNNORMALIZED
+                denom = jnp.sum(p.astype(jnp.float32), axis=-1,
+                                keepdims=True)
+                o = jax.lax.dot_general(
                     p, v[:, sl], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ).astype(out_dtype)
+                )
+                o_ref[g, :, sl] = (o / denom).astype(out_dtype)
             return 0
 
         jax.lax.fori_loop(0, group, per_image, 0)
@@ -198,6 +207,224 @@ def attention_core(
         out_shape=jax.ShapeDtypeStruct((batch, seq, d_model), q.dtype),
         interpret=interpret,
     )(q, k, v)
+
+
+def _make_mlp_kernel(group: int, seq: int, d_model: int, d_ff: int,
+                     eps: float, out_dtype):
+    gl = group * seq
+
+    def kernel(x_ref, lns_ref, lnb_ref, wfc_ref, bfc_ref,
+               wproj_ref, bproj_ref, o_ref):
+        x32 = x_ref[:].reshape(gl, d_model).astype(jnp.float32)
+        m = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - m), axis=-1, keepdims=True)
+        h = ((x32 - m) * jax.lax.rsqrt(var + eps)
+             * lns_ref[:].astype(jnp.float32)
+             + lnb_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+        hid = jax.lax.dot_general(
+            h, wfc_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bfc_ref[:].astype(jnp.float32)
+        hid = (hid * jax.nn.sigmoid(1.702 * hid)).astype(jnp.bfloat16)
+        y = jax.lax.dot_general(
+            hid, wproj_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bproj_ref[:].astype(jnp.float32)
+        o_ref[:] = (x32 + y).reshape(group, seq, d_model).astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("group", "eps", "interpret"))
+def fused_mlp_block(
+    x: jax.Array,            # (B, L, D) — PRE-LN residual stream
+    ln_scale: jax.Array, ln_bias: jax.Array,
+    w_fc: jax.Array, b_fc: jax.Array,
+    w_proj: jax.Array, b_proj: jax.Array,
+    group: int = 1,
+    eps: float = 1e-5,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """x + MLP(LN(x)) with quickGELU as one Pallas program: the gelu
+    hidden tensor (4x the residual width) and the LN intermediates never
+    touch HBM. Built for long sequences where the whole-block kernel's
+    scores would not fit VMEM (e.g. ViT-L/14@336's 577 tokens).
+
+    NOTE at production widths the weights (D x 4D x2 bf16 ~ 17 MB for
+    D=1024) exceed the default 16 MB scoped-VMEM budget — callers must
+    raise it first (utils/tpu_flags.ensure_scoped_vmem_limit)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, seq, d_model = x.shape
+    assert batch % group == 0, (batch, group)
+    d_ff = w_fc.shape[1]
+    bf = jnp.bfloat16
+    xspec = pl.BlockSpec((group, seq, d_model), lambda i: (i, 0, 0))
+    vec = pl.BlockSpec((d_model,), lambda i: (0,))
+    return pl.pallas_call(
+        _make_mlp_kernel(group, seq, d_model, d_ff, eps, x.dtype),
+        grid=(batch // group,),
+        in_specs=[
+            xspec, vec, vec,
+            pl.BlockSpec((d_model, d_ff), lambda i: (0, 0)),
+            pl.BlockSpec((d_ff,), lambda i: (0,)),
+            pl.BlockSpec((d_ff, d_model), lambda i: (0, 0)),
+            vec,
+        ],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((batch, seq, d_model), x.dtype),
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, w_fc.astype(bf), b_fc, w_proj.astype(bf),
+      b_proj)
+
+
+def _make_t5_ffn_kernel(group: int, seq: int, d_model: int, d_ff: int,
+                        gated: bool, eps: float, out_dtype):
+    gl = group * seq
+
+    def kernel(*refs):
+        if gated:
+            x_ref, lnw_ref, wi0_ref, wi1_ref, wo_ref, o_ref = refs
+        else:
+            x_ref, lnw_ref, wi0_ref, wo_ref, o_ref = refs
+            wi1_ref = None
+        x32 = x_ref[:].reshape(gl, d_model).astype(jnp.float32)
+        # T5 RMS norm (no mean subtraction, scale only)
+        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        h = (x32 * jax.lax.rsqrt(var + eps)
+             * lnw_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+        hid = jax.lax.dot_general(
+            h, wi0_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # tanh-approximate gelu (HF gelu_new), computed in fp32
+        hid = 0.5 * hid * (
+            1.0 + jnp.tanh(0.7978845608028654
+                           * (hid + 0.044715 * hid * hid * hid))
+        )
+        if gated:
+            lin = jax.lax.dot_general(
+                h, wi1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            hid = hid * lin
+        y = jax.lax.dot_general(
+            hid.astype(jnp.bfloat16), wo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:] = (x32 + y).reshape(group, seq, d_model).astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "eps", "interpret")
+)
+def fused_t5_ffn(
+    x: jax.Array,            # (B, L, D) — PRE-NORM residual stream
+    ln_weight: jax.Array,    # (D,) RMS-norm scale
+    wi_0: jax.Array,         # (D, F)
+    wi_1: Optional[jax.Array],  # (D, F) gate, or None for non-gated
+    wo: jax.Array,           # (F, D)
+    group: int = 1,
+    eps: float = 1e-6,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """x + FFN(RMSNorm(x)) for T5 v1.1-style gated-gelu (or plain) FFNs
+    as one Pallas program, all three weight matrices resident in VMEM.
+
+    At T0-3B widths (D=2048, F=5120) the weights are ~63 MB bf16 — far
+    over the default 16 MB scoped-VMEM budget; callers must raise it
+    (utils/tpu_flags.ensure_scoped_vmem_limit(98304)) before backend
+    init. Reference FFN math: /root/reference/src/models/vct0.py uses HF
+    T5 whose DenseGatedActDense this reproduces (gelu_new, no biases)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, seq, d_model = x.shape
+    assert batch % group == 0, (batch, group)
+    d_ff = wi_0.shape[1]
+    bf = jnp.bfloat16
+    gated = wi_1 is not None
+    xspec = pl.BlockSpec((group, seq, d_model), lambda i: (i, 0, 0))
+    in_specs = [
+        xspec,
+        pl.BlockSpec((d_model,), lambda i: (0,)),
+        pl.BlockSpec((d_model, d_ff), lambda i: (0, 0)),
+    ]
+    args = [x, ln_weight, wi_0.astype(bf)]
+    if gated:
+        in_specs.append(pl.BlockSpec((d_model, d_ff), lambda i: (0, 0)))
+        args.append(wi_1.astype(bf))
+    in_specs.append(pl.BlockSpec((d_ff, d_model), lambda i: (0, 0)))
+    args.append(wo.astype(bf))
+    return pl.pallas_call(
+        _make_t5_ffn_kernel(group, seq, d_model, d_ff, gated, eps, x.dtype),
+        grid=(batch // group,),
+        in_specs=in_specs,
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((batch, seq, d_model), x.dtype),
+        interpret=interpret,
+    )(*args)
+
+
+def _t5_ffn_reference(x, ln_weight, wi_0, wi_1, wo, eps):
+    """Pure-XLA twin of fused_t5_ffn (same math: fp32 rms-norm, bf16
+    matmul operands with fp32 accumulation, tanh-approx gelu). Used as
+    the recompute path in the custom VJP."""
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    h = (x32 * jax.lax.rsqrt(var + eps)
+         * ln_weight.astype(jnp.float32)).astype(jnp.bfloat16)
+    hid = jnp.einsum("bld,df->blf", h, wi_0.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    hid = 0.5 * hid * (
+        1.0 + jnp.tanh(0.7978845608028654
+                       * (hid + 0.044715 * hid * hid * hid))
+    )
+    if wi_1 is not None:
+        lin = jnp.einsum("bld,df->blf", h, wi_1.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        hid = hid * lin
+    y = jnp.einsum("blf,fd->bld", hid.astype(jnp.bfloat16),
+                   wo.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    return (x32 + y).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_t5_ffn_vjp(x, ln_weight, wi_0, wi_1, wo, eps=1e-6):
+    """Differentiable wrapper: Pallas kernel forward, gradients via
+    recomputation through the XLA twin (the kernel materializes neither
+    the normed input nor the gelu hidden, which the backward needs)."""
+    return fused_t5_ffn(x, ln_weight, wi_0, wi_1, wo, eps=eps)
+
+
+def _fused_t5_ffn_fwd(x, ln_weight, wi_0, wi_1, wo, eps):
+    out = fused_t5_ffn(x, ln_weight, wi_0, wi_1, wo, eps=eps)
+    return out, (x, ln_weight, wi_0, wi_1, wo)
+
+
+def _fused_t5_ffn_bwd(eps, residuals, d_out):
+    x, ln_weight, wi_0, wi_1, wo = residuals
+    if wi_1 is None:
+        _, vjp_fn = jax.vjp(
+            lambda x_, lw_, w0_, wo_: _t5_ffn_reference(
+                x_, lw_, w0_, None, wo_, eps
+            ),
+            x, ln_weight, wi_0, wo,
+        )
+        dx, dlw, dw0, dwo = vjp_fn(d_out)
+        return dx, dlw, dw0, None, dwo
+    _, vjp_fn = jax.vjp(
+        lambda x_, lw_, w0_, w1_, wo_: _t5_ffn_reference(
+            x_, lw_, w0_, w1_, wo_, eps
+        ),
+        x, ln_weight, wi_0, wi_1, wo,
+    )
+    return vjp_fn(d_out)
+
+
+fused_t5_ffn_vjp.defvjp(_fused_t5_ffn_fwd, _fused_t5_ffn_bwd)
 
 
 def _make_t5_core_kernel(heads_per_block: int, head_dim: int, out_dtype):

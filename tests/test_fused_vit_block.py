@@ -79,9 +79,10 @@ def test_fused_block_tower_matches_exact():
     assert np.all(cos > 0.999), cos
 
 
-def test_fused_block_falls_back_on_long_sequences():
-    # patch 2 @ 28px -> 197 tokens > 128: must take the non-fused path
-    # (and still be numerically exact vs default)
+def test_fused_block_long_sequence_path():
+    # patch 2 @ 28px -> 197 tokens > 128: takes the attention-core +
+    # fused-MLP split path (bf16 matmul operands inside the MLP kernel
+    # -> bf16-level tolerance vs the exact tower)
     cfg = CLIPVisionConfig.small_test(patch_size=2)
     params = init_clip_vision_params(jax.random.PRNGKey(4), cfg, jnp.float32)
     rng = np.random.default_rng(5)
@@ -91,4 +92,35 @@ def test_fused_block_falls_back_on_long_sequences():
     exact = np.asarray(clip_encode_image(params, cfg, images))
     fused_cfg = dataclasses.replace(cfg, fused_block=True)
     fused = np.asarray(clip_encode_image(params, fused_cfg, images))
-    np.testing.assert_allclose(fused, exact, rtol=1e-5, atol=1e-5)
+    cos = (exact * fused).sum(-1) / (
+        np.linalg.norm(exact, axis=-1) * np.linalg.norm(fused, axis=-1)
+    )
+    assert np.all(cos > 0.999), cos
+
+
+def test_fused_mlp_block_matches_xla():
+    from explicit_alignment_for_vqa_tasks_tpu.ops.fused_attention_block import (
+        fused_mlp_block,
+    )
+
+    D, F = 32, 128
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((4, 9, D)).astype(np.float32))
+    lns = jnp.asarray(rng.standard_normal(D).astype(np.float32))
+    lnb = jnp.asarray(rng.standard_normal(D).astype(np.float32))
+    wfc = jnp.asarray((rng.standard_normal((D, F)) * 0.1).astype(np.float32))
+    bfc = jnp.asarray(rng.standard_normal(F).astype(np.float32))
+    wpr = jnp.asarray((rng.standard_normal((F, D)) * 0.1).astype(np.float32))
+    bpr = jnp.asarray(rng.standard_normal(D).astype(np.float32))
+
+    x32 = np.asarray(x, np.float32)
+    m = x32.mean(-1, keepdims=True)
+    v = ((x32 - m) ** 2).mean(-1, keepdims=True)
+    h = (x32 - m) / np.sqrt(v + 1e-5) * np.asarray(lns) + np.asarray(lnb)
+    hid = h @ np.asarray(wfc) + np.asarray(bfc)
+    hid = hid * (1.0 / (1.0 + np.exp(-1.702 * hid)))
+    ref = x32 + hid @ np.asarray(wpr) + np.asarray(bpr)
+
+    got = np.asarray(fused_mlp_block(x, lns, lnb, wfc, bfc, wpr, bpr,
+                                     group=2, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
