@@ -1,0 +1,89 @@
+"""Secondary benchmark: T0-3B-architecture ENCODER throughput (B=32,
+557 tokens — the flagship few-shot prompt shape).
+
+A/B's the encoder kernel variants; not part of the driver's bench.py
+contract. Run manually: python bench_encoder.py
+
+Measured (v5e, 2026-08-17, amortized 8 encodes/fetch, carry-dependent
+scan body so XLA cannot hoist the encode):
+  XLA attention             359.6 ms/encode  120 TFLOP/s
+  fused Pallas attention    260.7 ms/encode  166 TFLOP/s (87% MFU) <- default
+  + fused Pallas FFN        272.2 ms/encode  159 TFLOP/s (NEGATIVE -4%:
+      XLA's own FFN fusion at d_ff=5120/17.8k rows is already excellent;
+      the kernel's in-program RMS-norm/gelu serialize against the MXU.
+      fused_t5_ffn stays available behind tpu.fused_ffn, default OFF.)
+"""
+import dataclasses
+import time
+
+from explicit_alignment_for_vqa_tasks_tpu.utils.tpu_flags import (
+    ensure_scoped_vmem_limit,
+)
+
+# the fused-FFN variant holds all three FFN matrices in VMEM (~63 MB)
+ensure_scoped_vmem_limit(98304)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (  # noqa: E402
+    T5Config,
+    embed_tokens,
+    init_t5_params,
+    t5_encode,
+)
+from explicit_alignment_for_vqa_tasks_tpu.utils.compilation_cache import (  # noqa: E402
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
+
+B, L = 32, 557
+REPS = 8
+
+
+def main() -> None:
+    base_cfg = T5Config.t0_3b(dtype=jnp.bfloat16,
+                              fused_encoder_attention=True)
+    params = init_t5_params(jax.random.PRNGKey(0), base_cfg, jnp.bfloat16)
+    enc_params = {"shared": params["shared"], "encoder": params["encoder"]}
+    ids = jax.jit(
+        lambda k: jax.random.randint(k, (B, L), 0, 30000)
+    )(jax.random.PRNGKey(1))
+
+    def bench(cfg, name):
+        @jax.jit
+        def run(p, ids):
+            emb = embed_tokens(p, cfg, ids)
+
+            def body(c, _):
+                # carry-dependent input defeats loop-invariant hoisting
+                h = t5_encode(p, cfg, inputs_embeds=emb * (1.0 + c * 1e-12))
+                return jnp.sum(h.astype(jnp.float32)) * 1e-9, None
+
+            t, _ = jax.lax.scan(body, jnp.float32(0), None, length=REPS)
+            return t
+
+        float(run(enc_params, ids))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(enc_params, ids))
+            best = min(best, (time.perf_counter() - t0) / REPS)
+        d, ff = cfg.d_model, cfg.d_ff
+        flops = cfg.num_encoder_layers * B * L * (
+            4 * 2 * d * d + 3 * 2 * d * ff + 2 * 2 * L * d
+        )
+        print(f"{name}: {1e3*best:.1f} ms/encode (B={B}) "
+              f"{flops/best/1e12:.0f} TFLOP/s  {B/best:.0f} prompts-enc/s",
+              flush=True)
+
+    bench(base_cfg, "fused attn (default)")
+    bench(dataclasses.replace(base_cfg, fused_encoder_ffn=True),
+          "fused attn + fused ffn")
+    bench(dataclasses.replace(base_cfg, fused_encoder_attention=False),
+          "XLA attn")
+
+
+if __name__ == "__main__":
+    main()

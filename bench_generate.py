@@ -21,7 +21,17 @@ def main() -> None:
     parser.add_argument("--shots", type=int, default=4)
     parser.add_argument("--decode_steps", type=int, default=20)
     parser.add_argument("--trials", type=int, default=3)
+    parser.add_argument("--fused_ffn", action="store_true",
+                        help="fused Pallas encoder FFN (raises the "
+                        "scoped-VMEM limit; separate compile-cache key)")
     args = parser.parse_args()
+
+    if args.fused_ffn:
+        from explicit_alignment_for_vqa_tasks_tpu.utils.tpu_flags import (
+            ensure_scoped_vmem_limit,
+        )
+
+        ensure_scoped_vmem_limit(98304)
 
     import jax
     import jax.numpy as jnp
@@ -47,7 +57,8 @@ def main() -> None:
     enable_compilation_cache()
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     lm_cfg = T5Config.t0_3b(dtype=jnp.bfloat16,
-                            fused_encoder_attention=True)
+                            fused_encoder_attention=True,
+                            fused_encoder_ffn=args.fused_ffn)
     cfg = VCT0Config(
         lm=lm_cfg,
         mapper=MapperConfig(prefix_size=768, d_model=lm_cfg.d_model,
