@@ -30,6 +30,14 @@ class GPT2Config:
     layer_norm_epsilon: float = 1e-5
     eos_token_id: int = 50256
     dtype: Any = jnp.bfloat16
+    # whole GPT-2 block (LN1 + fused-QKV + causal attention + out-proj +
+    # LN2 + MLP + residuals) as one Pallas program per image group
+    # (ops/fused_attention_block.py::fused_gpt2_block). Applies to the
+    # full-sequence forward (training / teacher forcing) when the
+    # sequence is short enough for whole-group scores in VMEM (L <= 128);
+    # prefill/decode keep the XLA KV-cache path. Differentiable via a
+    # recompute VJP, so ClipCap mapper training may enable it.
+    fused_block: bool = False
 
     @classmethod
     def gpt2_small(cls, **kw) -> "GPT2Config":
@@ -170,6 +178,33 @@ def gpt2_forward(
         inputs_embeds = gpt2_embed(params, cfg, input_ids)
     x = inputs_embeds.astype(cfg.dtype)
     batch, length, _ = x.shape
+
+    if cfg.fused_block and length <= 128:
+        from ..ops.fused_attention_block import fused_gpt2_block_vjp
+
+        mask = (jnp.ones((batch, length), jnp.int32)
+                if attention_mask is None
+                else attention_mask.astype(jnp.int32))
+
+        def layer(carry, layer_p):
+            y = fused_gpt2_block_vjp(
+                carry, mask,
+                layer_p["ln1_scale"], layer_p["ln1_bias"],
+                layer_p["attn_qkv"], layer_p["attn_qkv_bias"],
+                layer_p["attn_out"], layer_p["attn_out_bias"],
+                layer_p["ln2_scale"], layer_p["ln2_bias"],
+                layer_p["mlp_fc"], layer_p["mlp_fc_bias"],
+                layer_p["mlp_proj"], layer_p["mlp_proj_bias"],
+                cfg.num_heads, cfg.layer_norm_epsilon,
+            )
+            return y, None
+
+        x, _ = jax.lax.scan(layer, x, params["blocks"])
+        x = layer_norm(x, params["ln_f_scale"], params["ln_f_bias"],
+                       cfg.layer_norm_epsilon)
+        return jnp.einsum("bld,vd->blv", x, params["wte"].astype(x.dtype),
+                          preferred_element_type=jnp.float32)
+
     causal = jnp.tril(jnp.ones((length, length), dtype=bool))
     bias = jnp.where(causal[None, None], 0.0, NEG_INF)
     if attention_mask is not None:

@@ -367,6 +367,241 @@ def fused_t5_ffn(
     )(*args)
 
 
+def _make_gpt2_block_kernel(group: int, seq: int, num_heads: int,
+                            head_dim: int, scale: float, eps: float,
+                            out_dtype):
+    """GPT-2 pre-LN block, one program per image group (block-diagonal
+    CAUSAL attention): LN1 + fused-QKV + attention + out-proj + residual
+    + LN2 + MLP(tanh-gelu) + residual. bf16 matmul operands, fp32
+    accumulation/softmax/residual-stream."""
+    d_model = num_heads * head_dim
+    gl = group * seq
+
+    def kernel(x_ref, mask_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
+               wo_ref, bo_ref, ln2s_ref, ln2b_ref,
+               wfc_ref, bfc_ref, wproj_ref, bproj_ref, o_ref):
+        x32 = x_ref[:].reshape(gl, d_model).astype(jnp.float32)
+
+        def ln(z, s_ref, b_ref):
+            m = jnp.mean(z, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(z - m), axis=-1, keepdims=True)
+            return ((z - m) * jax.lax.rsqrt(var + eps)
+                    * s_ref[:].astype(jnp.float32)
+                    + b_ref[:].astype(jnp.float32))
+
+        h = ln(x32, ln1s_ref, ln1b_ref).astype(jnp.bfloat16)
+        qkv = jax.lax.dot_general(
+            h, wqkv_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bqkv_ref[:].astype(jnp.float32)               # (GL, 3D)
+        q = qkv[:, :d_model] * jnp.float32(scale)
+        k = qkv[:, d_model:2 * d_model]
+        v = qkv[:, 2 * d_model:]
+
+        row_img = jax.lax.broadcasted_iota(jnp.int32, (gl, gl), 0) // seq
+        col_img = jax.lax.broadcasted_iota(jnp.int32, (gl, gl), 1) // seq
+        row_pos = jax.lax.broadcasted_iota(jnp.int32, (gl, gl), 0) % seq
+        col_pos = jax.lax.broadcasted_iota(jnp.int32, (gl, gl), 1) % seq
+        visible = (row_img == col_img) & (row_pos >= col_pos)
+        key_valid = mask_ref[:].reshape(1, gl) > 0        # (1, GL)
+        blockmask = jnp.where(visible & key_valid, 0.0, -1e30)
+
+        outs = []
+        for hd in range(num_heads):
+            sl = slice(hd * head_dim, (hd + 1) * head_dim)
+            s = jax.lax.dot_general(
+                q[:, sl].astype(jnp.bfloat16),
+                k[:, sl].astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + blockmask
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+            outs.append(jax.lax.dot_general(
+                p, v[:, sl].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        attn = jnp.concatenate(outs, axis=-1).astype(jnp.bfloat16)
+        y = jax.lax.dot_general(
+            attn, wo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bo_ref[:].astype(jnp.float32)
+        r1 = x32 + y
+
+        h2 = ln(r1, ln2s_ref, ln2b_ref).astype(jnp.bfloat16)
+        hid = jax.lax.dot_general(
+            h2, wfc_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bfc_ref[:].astype(jnp.float32)
+        hid = 0.5 * hid * (
+            1.0 + jnp.tanh(0.7978845608028654
+                           * (hid + 0.044715 * hid * hid * hid))
+        )
+        mlp = jax.lax.dot_general(
+            hid.astype(jnp.bfloat16), wproj_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bproj_ref[:].astype(jnp.float32)
+        o_ref[:] = (r1 + mlp).reshape(group, seq, d_model).astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "group", "eps", "interpret")
+)
+def fused_gpt2_block(
+    x: jax.Array,            # (B, L, D) — PRE-LN residual stream
+    mask: jax.Array,         # (B, L) key-validity (1 = real token)
+    ln1_scale: jax.Array, ln1_bias: jax.Array,
+    w_qkv: jax.Array, b_qkv: jax.Array,     # (D, 3D), (3D,)
+    w_out: jax.Array, b_out: jax.Array,
+    ln2_scale: jax.Array, ln2_bias: jax.Array,
+    w_fc: jax.Array, b_fc: jax.Array,
+    w_proj: jax.Array, b_proj: jax.Array,
+    num_heads: int,
+    group: int = 4,
+    eps: float = 1e-5,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Full pre-LN GPT-2 encoder/decoder-teacher-forcing block (causal,
+    tanh-approx gelu) as one Pallas program. Reference behavior:
+    /root/reference/src/models/clipcap.py:290-342 drives HF GPT2Model
+    blocks; this fuses one whole block per image group."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, seq, d_model = x.shape
+    while batch % group:
+        group //= 2
+    group = max(group, 1)
+    head_dim = d_model // num_heads
+    scale = head_dim ** -0.5
+    d_ff = w_fc.shape[1]
+    bf = jnp.bfloat16
+    kernel = _make_gpt2_block_kernel(group, seq, num_heads, head_dim,
+                                     scale, eps, x.dtype)
+    xspec = pl.BlockSpec((group, seq, d_model), lambda i: (i, 0, 0))
+    vec = pl.BlockSpec((d_model,), lambda i: (0,))
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // group,),
+        in_specs=[
+            xspec,
+            pl.BlockSpec((group, seq), lambda i: (i, 0)),
+            vec, vec,
+            pl.BlockSpec((d_model, 3 * d_model), lambda i: (0, 0)),
+            pl.BlockSpec((3 * d_model,), lambda i: (0,)),
+            pl.BlockSpec((d_model, d_model), lambda i: (0, 0)), vec,
+            vec, vec,
+            pl.BlockSpec((d_model, d_ff), lambda i: (0, 0)),
+            pl.BlockSpec((d_ff,), lambda i: (0,)),
+            pl.BlockSpec((d_ff, d_model), lambda i: (0, 0)), vec,
+        ],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((batch, seq, d_model), x.dtype),
+        interpret=interpret,
+    )(x, mask.astype(jnp.int32), ln1_scale, ln1_bias,
+      w_qkv.astype(bf), b_qkv, w_out.astype(bf), b_out,
+      ln2_scale, ln2_bias, w_fc.astype(bf), b_fc, w_proj.astype(bf),
+      b_proj)
+
+
+def _gpt2_block_reference(x, mask, ln1_scale, ln1_bias, w_qkv, b_qkv,
+                          w_out, b_out, ln2_scale, ln2_bias, w_fc, b_fc,
+                          w_proj, b_proj, num_heads, eps):
+    """Pure-XLA twin of fused_gpt2_block (same math) for the VJP
+    recompute path."""
+    batch, seq, d_model = x.shape
+    head_dim = d_model // num_heads
+    bf = jnp.bfloat16
+    x32 = x.astype(jnp.float32)
+
+    def ln(z, s, b):
+        m = jnp.mean(z, -1, keepdims=True)
+        var = jnp.mean(jnp.square(z - m), -1, keepdims=True)
+        return ((z - m) * jax.lax.rsqrt(var + eps)
+                * s.astype(jnp.float32) + b.astype(jnp.float32))
+
+    h = ln(x32, ln1_scale, ln1_bias).astype(bf)
+    qkv = jnp.einsum("bld,de->ble", h, w_qkv.astype(bf),
+                     preferred_element_type=jnp.float32)
+    qkv = qkv + b_qkv.astype(jnp.float32)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = (q * (head_dim ** -0.5)).reshape(batch, seq, num_heads, head_dim)
+    k = k.reshape(batch, seq, num_heads, head_dim)
+    v = v.reshape(batch, seq, num_heads, head_dim)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(bf), k.astype(bf),
+                   preferred_element_type=jnp.float32)
+    causal = jnp.tril(jnp.ones((seq, seq), dtype=bool))
+    s = s + jnp.where(causal[None, None]
+                      & (mask[:, None, None, :] > 0), 0.0, -1e30)
+    p = jax.nn.softmax(s, axis=-1).astype(bf)
+    attn = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(bf),
+                      preferred_element_type=jnp.float32)
+    attn = attn.reshape(batch, seq, d_model).astype(bf)
+    y = jnp.einsum("ble,ed->bld", attn, w_out.astype(bf),
+                   preferred_element_type=jnp.float32)
+    r1 = x32 + y + b_out.astype(jnp.float32)
+    h2 = ln(r1, ln2_scale, ln2_bias).astype(bf)
+    hid = jnp.einsum("bld,df->blf", h2, w_fc.astype(bf),
+                     preferred_element_type=jnp.float32)
+    hid = hid + b_fc.astype(jnp.float32)
+    hid = 0.5 * hid * (1.0 + jnp.tanh(
+        0.7978845608028654 * (hid + 0.044715 * hid * hid * hid)))
+    mlp = jnp.einsum("blf,fd->bld", hid.astype(bf), w_proj.astype(bf),
+                     preferred_element_type=jnp.float32)
+    return (r1 + mlp + b_proj.astype(jnp.float32)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15))
+def fused_gpt2_block_vjp(x, mask, ln1_scale, ln1_bias, w_qkv, b_qkv,
+                         w_out, b_out, ln2_scale, ln2_bias, w_fc, b_fc,
+                         w_proj, b_proj, num_heads, eps=1e-5):
+    """Differentiable wrapper: fused kernel forward, recompute backward
+    through the XLA twin (ClipCap training backprops through the frozen
+    GPT-2 into the mapper)."""
+    return fused_gpt2_block(
+        x, mask, ln1_scale, ln1_bias, w_qkv, b_qkv, w_out, b_out,
+        ln2_scale, ln2_bias, w_fc, b_fc, w_proj, b_proj,
+        num_heads=num_heads, eps=eps,
+    )
+
+
+def _fused_gpt2_fwd(x, mask, ln1_scale, ln1_bias, w_qkv, b_qkv, w_out,
+                    b_out, ln2_scale, ln2_bias, w_fc, b_fc, w_proj,
+                    b_proj, num_heads, eps):
+    out = fused_gpt2_block(
+        x, mask, ln1_scale, ln1_bias, w_qkv, b_qkv, w_out, b_out,
+        ln2_scale, ln2_bias, w_fc, b_fc, w_proj, b_proj,
+        num_heads=num_heads, eps=eps,
+    )
+    return out, (x, mask, ln1_scale, ln1_bias, w_qkv, b_qkv, w_out,
+                 b_out, ln2_scale, ln2_bias, w_fc, b_fc, w_proj, b_proj)
+
+
+def _fused_gpt2_bwd(num_heads, eps, residuals, d_out):
+    (x, mask, ln1_scale, ln1_bias, w_qkv, b_qkv, w_out, b_out,
+     ln2_scale, ln2_bias, w_fc, b_fc, w_proj, b_proj) = residuals
+    _, vjp_fn = jax.vjp(
+        lambda x_, l1s, l1b, wq, bq, wo_, bo_, l2s, l2b, wf, bf_, wp, bp:
+        _gpt2_block_reference(x_, mask, l1s, l1b, wq, bq, wo_, bo_,
+                              l2s, l2b, wf, bf_, wp, bp, num_heads, eps),
+        x, ln1_scale, ln1_bias, w_qkv, b_qkv, w_out, b_out,
+        ln2_scale, ln2_bias, w_fc, b_fc, w_proj, b_proj,
+    )
+    grads = vjp_fn(d_out)
+    import numpy as np
+
+    if jnp.issubdtype(mask.dtype, jnp.floating):
+        dmask = jnp.zeros_like(mask)
+    else:
+        dmask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
+    return (grads[0], dmask) + grads[1:]
+
+
+fused_gpt2_block_vjp.defvjp(_fused_gpt2_fwd, _fused_gpt2_bwd)
+
+
 def _t5_ffn_reference(x, ln_weight, wi_0, wi_1, wo, eps):
     """Pure-XLA twin of fused_t5_ffn (same math: fp32 rms-norm, bf16
     matmul operands with fp32 accumulation, tanh-approx gelu). Used as

@@ -144,7 +144,12 @@ def build_model_from_config(config: Any) -> Tuple[Any, Any]:
     if model_class in ("ClipCaptionPrefix", "ClipCaptionModel"):
         base = GPT2_CONFIGS.get(mc.get("ConfigClass", "GPT2"),
                                 GPT2Config.gpt2_small)
-        lm_cfg = base(dtype=compute_dtype, **_lm_overrides(config))
+        overrides = _lm_overrides(config)
+        overrides.setdefault(
+            "fused_block",
+            bool(config.get("tpu", {}).get("fused_attention", False)),
+        )
+        lm_cfg = base(dtype=compute_dtype, **overrides)
         cfg = ClipCapConfig.from_model_args(
             model_args, lm_cfg=lm_cfg,
             freeze_lm=(model_class == "ClipCaptionPrefix"),
