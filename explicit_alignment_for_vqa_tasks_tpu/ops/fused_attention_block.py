@@ -403,7 +403,7 @@ def _make_gpt2_block_kernel(group: int, seq: int, num_heads: int,
         row_pos = jax.lax.broadcasted_iota(jnp.int32, (gl, gl), 0) % seq
         col_pos = jax.lax.broadcasted_iota(jnp.int32, (gl, gl), 1) % seq
         visible = (row_img == col_img) & (row_pos >= col_pos)
-        key_valid = mask_ref[:].reshape(1, gl) > 0        # (1, GL)
+        key_valid = mask_ref[0] > 0                       # (1, GL)
         blockmask = jnp.where(visible & key_valid, 0.0, -1e30)
 
         outs = []
@@ -487,7 +487,10 @@ def fused_gpt2_block(
         grid=(batch // group,),
         in_specs=[
             xspec,
-            pl.BlockSpec((group, seq), lambda i: (i, 0)),
+            # mask is pre-flattened to (B/G, 1, G*L) so the kernel reads
+            # a (1, GL) slab without an in-kernel fold (TPU block shapes
+            # need the last-two dims tile-aligned or full)
+            pl.BlockSpec((1, 1, group * seq), lambda i: (i, 0, 0)),
             vec, vec,
             pl.BlockSpec((d_model, 3 * d_model), lambda i: (0, 0)),
             pl.BlockSpec((3 * d_model,), lambda i: (0,)),
@@ -500,7 +503,8 @@ def fused_gpt2_block(
         out_specs=xspec,
         out_shape=jax.ShapeDtypeStruct((batch, seq, d_model), x.dtype),
         interpret=interpret,
-    )(x, mask.astype(jnp.int32), ln1_scale, ln1_bias,
+    )(x, mask.astype(jnp.int32).reshape(batch // group, 1, group * seq),
+      ln1_scale, ln1_bias,
       w_qkv.astype(bf), b_qkv, w_out.astype(bf), b_out,
       ln2_scale, ln2_bias, w_fc.astype(bf), b_fc, w_proj.astype(bf),
       b_proj)

@@ -254,24 +254,45 @@ class BaseExecutor(MetricsProcessor):
                 self.multi_logger.log_auto_extrema(self.global_step)
 
     # ------------------------------------------------------------------
-    def validate(self, max_batches: Optional[int] = None) -> Dict[str, float]:
+    def _eval_loop(self, max_batches: Optional[int] = None) -> List[Dict]:
+        """Iterate the test loader through ``_generative_step``, with a
+        1-deep dispatch/collect pipeline when the subclass provides
+        ``_dispatch_generative`` / ``_collect_generative``: jax's async
+        dispatch lets the device run batch N+1's generate while the host
+        fetches and detokenizes batch N (the host side costs ~55 ms of
+        relay latency plus tokenizer decode per batch, which a serial
+        loop adds straight to device time)."""
         outputs: List[Dict] = []
+        dispatch = getattr(self, "_dispatch_generative", None)
+        collect = getattr(self, "_collect_generative", None)
+        if dispatch is None or collect is None:
+            for batch_idx, batch in enumerate(self.test_dataloader):
+                if max_batches is not None and batch_idx >= max_batches:
+                    break
+                outputs.append(self._generative_step(batch, batch_idx))
+            return outputs
+        pending = None
         for batch_idx, batch in enumerate(self.test_dataloader):
             if max_batches is not None and batch_idx >= max_batches:
                 break
-            outputs.append(self._generative_step(batch, batch_idx))
+            state = dispatch(batch, batch_idx)
+            if pending is not None:
+                outputs.append(collect(pending))
+            pending = state
+        if pending is not None:
+            outputs.append(collect(pending))
+        return outputs
+
+    def validate(self, max_batches: Optional[int] = None) -> Dict[str, float]:
+        outputs = self._eval_loop(max_batches)
         if not outputs:
             return {}
         log_dict = self.evaluate_outputs(outputs, mode="test")
         return self.logging_results(log_dict, prefix="valid")
 
     def test(self) -> Dict[str, float]:
-        outputs: List[Dict] = []
         num_eval = int(self.config.test.get("num_evaluation", 0) or 0)
-        for batch_idx, batch in enumerate(self.test_dataloader):
-            if num_eval and batch_idx >= num_eval:
-                break
-            outputs.append(self._generative_step(batch, batch_idx))
+        outputs = self._eval_loop(num_eval or None)
         log_dict = self.evaluate_outputs(outputs, mode="test")
         return self.logging_results(
             log_dict,

@@ -72,6 +72,16 @@ class FewShotVQAExecutor(BaseExecutor):
 
     # ------------------------------------------------------------------
     def _generative_step(self, batch: AttrDict, batch_idx: int) -> Dict:
+        return self._collect_generative(
+            self._dispatch_generative(batch, batch_idx)
+        )
+
+    def _dispatch_generative(self, batch: AttrDict, batch_idx: int) -> Dict:
+        """Enqueue the device work for one eval batch and return its
+        (possibly still-executing) arrays — jax async dispatch means no
+        fetch happens here for the plain generate paths, so the caller
+        can overlap the NEXT batch's device work with this batch's host
+        postprocessing (see BaseExecutor._eval_loop)."""
         additional = self.config.data_loader.additional
         max_new = int(additional.max_target_length)
         num_shots = int(additional.get("num_shots", 0))
@@ -147,6 +157,21 @@ class FewShotVQAExecutor(BaseExecutor):
                 max_new_tokens=max_new,
                 num_beams=num_beams,
             )
+
+        return {
+            "tokens": tokens,
+            "input_ids": input_ids,
+            "batch": batch,
+            "batch_idx": batch_idx,
+        }
+
+    def _collect_generative(self, state: Dict) -> Dict:
+        """Fetch the batch's tokens to host and build predictions/table
+        rows (the host half of _generative_step)."""
+        tokens = state["tokens"]
+        input_ids = state["input_ids"]
+        batch = state["batch"]
+        batch_idx = state["batch_idx"]
 
         tokens_np = np.asarray(tokens)
         valid = np.asarray(
