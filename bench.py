@@ -4,11 +4,12 @@ Headline metric: ViT-B/32 @ 224px encodings/sec on one chip; target
 >= 5,000/s/chip (BASELINE.md). Note the reference's ACTIVE VQA2 config
 uses ViT-L/14@336px (reference: configs/vqa2/base_env.jsonnet:39-40;
 the ViT-B/32 path there is commented out at :41) — but 5k/s on ViT-L
-(~0.35 TFLOP/image) exceeds one v5e's measured 128 TFLOP/s dense
-ceiling by ~1.4x, so ViT-B/32 is the model the 5k target can refer to.
-ViT-L/14@336 is reported as a first-class secondary metric in the same
-JSON line, and both carry ``pct_of_measured_ceiling`` (model FLOPs/s
-achieved vs the chip's measured 128 TFLOP/s bf16 dense ceiling).
+(~0.38 TFLOP/image = 1.9 PFLOP/s) would need ~10x one v5e's measured
+190.6 TFLOP/s dense ceiling, so ViT-B/32 is the model the 5k target
+can refer to. ViT-L/14@336 is reported as a first-class secondary
+metric in the same JSON line, and both carry ``pct_of_measured_ceiling``
+(model FLOPs/s achieved vs the 190.6 TFLOP/s measured ceiling — see
+MEASURED_CEILING_TFLOPS below for the methodology).
 
 Methodology notes (verified on the axon-tunnelled v5e):
   * inputs are generated ON device — host->device transfer of GB-scale

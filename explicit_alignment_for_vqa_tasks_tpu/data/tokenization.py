@@ -213,20 +213,35 @@ class ThreadSafeTokenizer:
     """
 
     def __init__(self, base: Any):
+        import threading
+
         d = object.__getattribute__(self, "__dict__")
         d["_base"] = base
-        d["_local"] = __import__("threading").local()
-        d["_copies"] = []
-        d["_lock"] = __import__("threading").Lock()
+        d["_local"] = threading.local()
+        d["_assigned"] = {}   # thread ident -> copy (live threads)
+        d["_free"] = []       # reclaimed copies awaiting reuse
+        d["_lock"] = threading.Lock()
 
     def _tok(self) -> Any:
         tok = getattr(self._local, "tok", None)
         if tok is None:
+            import threading
+
             with self._lock:
-                tok = copy.deepcopy(self._base)
-                self._copies.append(tok)
+                # reclaim copies whose owner thread has exited — pools
+                # are recreated per epoch/eval pass, so without this the
+                # deepcopies would accumulate for the process lifetime
+                live = {t.ident for t in threading.enumerate()}
+                for ident in [i for i in self._assigned if i not in live]:
+                    self._free.append(self._assigned.pop(ident))
+                tok = (self._free.pop() if self._free
+                       else copy.deepcopy(self._base))
+                self._assigned[threading.get_ident()] = tok
             self._local.tok = tok
         return tok
+
+    def _all_copies(self):
+        return list(self._assigned.values()) + list(self._free)
 
     def __getattr__(self, name: str) -> Any:
         return getattr(self._tok(), name)
@@ -234,13 +249,13 @@ class ThreadSafeTokenizer:
     def __setattr__(self, name: str, value: Any) -> None:
         with self._lock:
             setattr(self._base, name, value)
-            for tok in self._copies:
+            for tok in self._all_copies():
                 setattr(tok, name, value)
 
     def add_special_tokens(self, *args: Any, **kwargs: Any) -> int:
         with self._lock:
             added = self._base.add_special_tokens(*args, **kwargs)
-            for tok in self._copies:
+            for tok in self._all_copies():
                 tok.add_special_tokens(*args, **kwargs)
         return added
 

@@ -131,6 +131,14 @@ def image_knn_from_text_knn(
             [int(q) for q in neighbours["question_ids"]], dtype=np.int64
         )
         pos = np.searchsorted(qids_sorted, nbr_qids)
+        pos_c = np.clip(pos, 0, len(qids_sorted) - 1)
+        if not np.array_equal(qids_sorted[pos_c], nbr_qids):
+            missing = nbr_qids[qids_sorted[pos_c] != nbr_qids]
+            raise KeyError(
+                f"text_knns neighbour question_ids not present in the "
+                f"train split (first few: {missing[:5].tolist()}) — "
+                f"stale or mismatched pickles?"
+            )
         neighbor_img_rows.append(img_idx_sorted[pos])
         val_query_rows.append(np.asarray(val_emb).reshape(-1))
         val_qids.append(qid)

@@ -1,22 +1,22 @@
-"""Fused ViT attention block (Pallas): qkv-projection + multi-head
-attention + output projection in ONE kernel.
+"""Fused transformer-block Pallas kernels.
 
-Motivation (measured on v5e, ViT-B/32 @ 50 tokens): attention is 0.1% of
+Motivation (measured on v5e, ViT-B/32 @ 50 tokens): attention is ~1% of
 the model FLOPs but ~half the runtime under XLA — the (B,L,H,D)->(B,H,L,D)
-transposes, the fp32 score-tensor HBM traffic, and ~24k tiny batched
-matmuls dominate. This kernel keeps everything in VMEM per image group:
+transposes, the fp32 score-tensor HBM traffic, and thousands of tiny
+batched matmuls dominate; the LN/gelu/residual tensors round-trip HBM
+every layer. These kernels keep whole (sub)blocks in VMEM per image
+group, with bf16 matmul operands (full-rate MXU) and fp32
+accumulation/softmax/residual stream. Layout stays (tokens, D)
+throughout; heads are lane slices.
 
-  HBM reads : x block (G, L, D) + the four projection matrices
-              (constant blocks — fetched once across the grid)
-  HBM writes: attention output block (G, L, D)
-
-i.e. the q/k/v tensors, scores, and per-head intermediates never touch
-HBM. Layout stays (tokens, D) throughout; heads are lane slices.
-
-Residual add and layer norms remain outside (XLA fuses those into
-neighbors). Intended for short sequences (L <= ~128) where whole-sequence
-scores fit VMEM; the CLIP vision tower opts in via
-``CLIPVisionConfig.fused_attention``.
+Kernel family (see README "Pallas kernel inventory" for measurements):
+  fused_attention_block   qkv + attention + out-proj (legacy short-seq)
+  fused_vit_block         whole CLIP pre-LN block (LN1+attn+LN2+MLP)
+  attention_core          attention only, long sequences
+  fused_mlp_block         LN + MLP + residual, long sequences
+  t5_attention_core(_vjp) T5 scores + position bias + mask, + VJP
+  fused_t5_ffn(_vjp)      RMS-norm + gated-gelu FFN + residual, + VJP
+  fused_gpt2_block(_vjp)  whole GPT-2 causal block, + VJP
 """
 
 from __future__ import annotations
@@ -27,6 +27,21 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+
+def _ln_f32(z: jax.Array, scale, bias, eps: float) -> jax.Array:
+    """LayerNorm over the last axis; `z` must already be fp32."""
+    m = jnp.mean(z, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(z - m), axis=-1, keepdims=True)
+    return ((z - m) * jax.lax.rsqrt(var + eps)
+            * scale.astype(jnp.float32) + bias.astype(jnp.float32))
+
+
+def _tanh_gelu(x: jax.Array) -> jax.Array:
+    """HF gelu_new (tanh approximation), fp32."""
+    return 0.5 * x * (
+        1.0 + jnp.tanh(0.7978845608028654 * (x + 0.044715 * x * x * x))
+    )
 
 
 def _make_kernel(group: int, seq: int, num_heads: int, head_dim: int,
@@ -216,11 +231,7 @@ def _make_mlp_kernel(group: int, seq: int, d_model: int, d_ff: int,
     def kernel(x_ref, lns_ref, lnb_ref, wfc_ref, bfc_ref,
                wproj_ref, bproj_ref, o_ref):
         x32 = x_ref[:].reshape(gl, d_model).astype(jnp.float32)
-        m = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x32 - m), axis=-1, keepdims=True)
-        h = ((x32 - m) * jax.lax.rsqrt(var + eps)
-             * lns_ref[:].astype(jnp.float32)
-             + lnb_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+        h = _ln_f32(x32, lns_ref[:], lnb_ref[:], eps).astype(jnp.bfloat16)
         hid = jax.lax.dot_general(
             h, wfc_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -297,11 +308,7 @@ def _make_t5_ffn_kernel(group: int, seq: int, d_model: int, d_ff: int,
             h, wi0_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        # tanh-approximate gelu (HF gelu_new), computed in fp32
-        hid = 0.5 * hid * (
-            1.0 + jnp.tanh(0.7978845608028654
-                           * (hid + 0.044715 * hid * hid * hid))
-        )
+        hid = _tanh_gelu(hid)  # HF gelu_new, fp32
         if gated:
             lin = jax.lax.dot_general(
                 h, wi1_ref[:], (((1,), (0,)), ((), ())),
@@ -381,15 +388,7 @@ def _make_gpt2_block_kernel(group: int, seq: int, num_heads: int,
                wo_ref, bo_ref, ln2s_ref, ln2b_ref,
                wfc_ref, bfc_ref, wproj_ref, bproj_ref, o_ref):
         x32 = x_ref[:].reshape(gl, d_model).astype(jnp.float32)
-
-        def ln(z, s_ref, b_ref):
-            m = jnp.mean(z, axis=-1, keepdims=True)
-            var = jnp.mean(jnp.square(z - m), axis=-1, keepdims=True)
-            return ((z - m) * jax.lax.rsqrt(var + eps)
-                    * s_ref[:].astype(jnp.float32)
-                    + b_ref[:].astype(jnp.float32))
-
-        h = ln(x32, ln1s_ref, ln1b_ref).astype(jnp.bfloat16)
+        h = _ln_f32(x32, ln1s_ref[:], ln1b_ref[:], eps).astype(jnp.bfloat16)
         qkv = jax.lax.dot_general(
             h, wqkv_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -429,15 +428,12 @@ def _make_gpt2_block_kernel(group: int, seq: int, num_heads: int,
         ) + bo_ref[:].astype(jnp.float32)
         r1 = x32 + y
 
-        h2 = ln(r1, ln2s_ref, ln2b_ref).astype(jnp.bfloat16)
+        h2 = _ln_f32(r1, ln2s_ref[:], ln2b_ref[:], eps).astype(jnp.bfloat16)
         hid = jax.lax.dot_general(
             h2, wfc_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + bfc_ref[:].astype(jnp.float32)
-        hid = 0.5 * hid * (
-            1.0 + jnp.tanh(0.7978845608028654
-                           * (hid + 0.044715 * hid * hid * hid))
-        )
+        hid = _tanh_gelu(hid)
         mlp = jax.lax.dot_general(
             hid.astype(jnp.bfloat16), wproj_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -519,14 +515,7 @@ def _gpt2_block_reference(x, mask, ln1_scale, ln1_bias, w_qkv, b_qkv,
     head_dim = d_model // num_heads
     bf = jnp.bfloat16
     x32 = x.astype(jnp.float32)
-
-    def ln(z, s, b):
-        m = jnp.mean(z, -1, keepdims=True)
-        var = jnp.mean(jnp.square(z - m), -1, keepdims=True)
-        return ((z - m) * jax.lax.rsqrt(var + eps)
-                * s.astype(jnp.float32) + b.astype(jnp.float32))
-
-    h = ln(x32, ln1_scale, ln1_bias).astype(bf)
+    h = _ln_f32(x32, ln1_scale, ln1_bias, eps).astype(bf)
     qkv = jnp.einsum("bld,de->ble", h, w_qkv.astype(bf),
                      preferred_element_type=jnp.float32)
     qkv = qkv + b_qkv.astype(jnp.float32)
@@ -546,12 +535,10 @@ def _gpt2_block_reference(x, mask, ln1_scale, ln1_bias, w_qkv, b_qkv,
     y = jnp.einsum("ble,ed->bld", attn, w_out.astype(bf),
                    preferred_element_type=jnp.float32)
     r1 = x32 + y + b_out.astype(jnp.float32)
-    h2 = ln(r1, ln2_scale, ln2_bias).astype(bf)
+    h2 = _ln_f32(r1, ln2_scale, ln2_bias, eps).astype(bf)
     hid = jnp.einsum("bld,df->blf", h2, w_fc.astype(bf),
                      preferred_element_type=jnp.float32)
-    hid = hid + b_fc.astype(jnp.float32)
-    hid = 0.5 * hid * (1.0 + jnp.tanh(
-        0.7978845608028654 * (hid + 0.044715 * hid * hid * hid)))
+    hid = _tanh_gelu(hid + b_fc.astype(jnp.float32))
     mlp = jnp.einsum("blf,fd->bld", hid.astype(bf), w_proj.astype(bf),
                      preferred_element_type=jnp.float32)
     return (r1 + mlp + b_proj.astype(jnp.float32)).astype(x.dtype)
@@ -616,10 +603,7 @@ def _t5_ffn_reference(x, ln_weight, wi_0, wi_1, wo, eps):
          * ln_weight.astype(jnp.float32)).astype(jnp.bfloat16)
     hid = jnp.einsum("bld,df->blf", h, wi_0.astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)
-    hid = 0.5 * hid * (
-        1.0 + jnp.tanh(0.7978845608028654
-                       * (hid + 0.044715 * hid * hid * hid))
-    )
+    hid = _tanh_gelu(hid)
     if wi_1 is not None:
         lin = jnp.einsum("bld,df->blf", h, wi_1.astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
@@ -818,15 +802,7 @@ def _make_vit_block_kernel(group: int, seq: int, num_heads: int,
                wo_ref, bo_ref, ln2s_ref, ln2b_ref,
                wfc_ref, bfc_ref, wproj_ref, bproj_ref, o_ref):
         x32 = x_ref[:].reshape(gl, d_model).astype(jnp.float32)
-
-        def ln(z, s_ref, b_ref):
-            m = jnp.mean(z, axis=-1, keepdims=True)
-            var = jnp.mean(jnp.square(z - m), axis=-1, keepdims=True)
-            return ((z - m) * jax.lax.rsqrt(var + eps)
-                    * s_ref[:].astype(jnp.float32)
-                    + b_ref[:].astype(jnp.float32))
-
-        h = ln(x32, ln1s_ref, ln1b_ref).astype(jnp.bfloat16)
+        h = _ln_f32(x32, ln1s_ref[:], ln1b_ref[:], eps).astype(jnp.bfloat16)
 
         def proj(w_ref, b_ref):
             return jax.lax.dot_general(
@@ -867,7 +843,7 @@ def _make_vit_block_kernel(group: int, seq: int, num_heads: int,
         ) + bo_ref[:].astype(jnp.float32)
         r1 = x32 + y                                    # residual 1 (fp32)
 
-        h2 = ln(r1, ln2s_ref, ln2b_ref).astype(jnp.bfloat16)
+        h2 = _ln_f32(r1, ln2s_ref[:], ln2b_ref[:], eps).astype(jnp.bfloat16)
         hid = jax.lax.dot_general(
             h2, wfc_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

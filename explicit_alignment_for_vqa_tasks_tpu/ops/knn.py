@@ -84,7 +84,13 @@ def grouped_knn_search(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-group exact top-k (replaces the reference's per-question FAISS
     index rebuild, get_image_knn_from_text_knn.py:57-95). Invalid slots
-    get -inf similarity."""
+    get -inf similarity.
+
+    NOTE: not on the production RICES path anymore — rices.py's stage 3
+    was rewritten as one whole-database matmul + take_along_axis gather
+    (faster at VQA2 scale). Kept as the supported API for gathered
+    per-group candidate sets that do NOT share a database (unit-tested
+    in tests/test_knn_rices.py)."""
     k = min(k, candidates.shape[1])
     # pad the candidate axis to a power of two so differently-sized groups
     # reuse a small closed set of compiled programs

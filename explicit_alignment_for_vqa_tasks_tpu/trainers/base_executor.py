@@ -74,27 +74,40 @@ class BaseExecutor(MetricsProcessor):
             n = jax.device_count()
             tp = int(sizes.get("model", 1) or 1)
             dp = int(sizes.get("data", -1) or -1)
+            if tp in (-1, 0):
+                # "model: -1" = all devices not taken by data/pipe
+                # (the make_mesh convention, honored here too)
+                known_dp = dp if dp > 0 else 1
+                tp = max(n // (known_dp * pipe), 1)
             if dp in (-1, 0):
                 dp = n // (pipe * tp)
+            mesh3d = None
             try:
-                self.mesh = make_mesh_3d(n, dp, pipe, tp)
+                mesh3d = make_mesh_3d(n, dp, pipe, tp)
             except ValueError as exc:
-                logger.warning("pipelined mesh disabled: %s", exc)
+                logger.warning(
+                    "pipelined mesh disabled (%s); falling back to the "
+                    "2-D data x model mesh", exc,
+                )
+            if mesh3d is not None:
+                self.mesh = mesh3d
+                self.pipelined = True
+                self.n_micro = int(
+                    self.config.get("tpu", {}).get("n_micro", 2) or 2
+                )
+                self.sequence_parallel = bool(
+                    self.config.get("tpu", {}).get("sequence_parallel",
+                                                   False)
+                )
+                model.params["lm"] = shard_lm_params_pp(
+                    self.mesh, model.params["lm"]
+                )
+                model.params["mapper"] = replicate_params(
+                    self.mesh, model.params["mapper"]
+                )
+                logger.info("pipelined mesh active: %s, n_micro=%d",
+                            dict(self.mesh.shape), self.n_micro)
                 return
-            self.pipelined = True
-            self.n_micro = int(
-                self.config.get("tpu", {}).get("n_micro", 2) or 2
-            )
-            self.sequence_parallel = bool(
-                self.config.get("tpu", {}).get("sequence_parallel", False)
-            )
-            model.params["lm"] = shard_lm_params_pp(self.mesh,
-                                                    model.params["lm"])
-            model.params["mapper"] = replicate_params(self.mesh,
-                                                      model.params["mapper"])
-            logger.info("pipelined mesh active: %s, n_micro=%d",
-                        dict(self.mesh.shape), self.n_micro)
-            return
 
         try:
             self.mesh = make_mesh(self.config)

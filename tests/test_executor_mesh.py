@@ -112,3 +112,26 @@ def test_vct0_training_on_pipelined_mesh(tmp_path):
     spec = q.sharding.spec
     assert spec[0] == "pipe" and spec[2] == "model"
     executor.train()
+
+
+def test_pipelined_mesh_with_wildcard_model_axis(tmp_path):
+    # "model: -1" = all devices not taken by data/pipe (make_mesh's
+    # convention); the pipelined branch must honor it too
+    executor = _build_cc_executor(
+        tmp_path, {"data": 1, "pipe": 2, "model": -1}
+    )
+    assert executor.pipelined
+    assert dict(executor.mesh.shape) == {"data": 1, "pipe": 2, "model": 4}
+
+
+def test_pipelined_mesh_failure_falls_back_to_2d(tmp_path):
+    # an unsatisfiable 3-D request (pipe doesn't divide the devices into
+    # the requested shape) must fall back to the plain data x model mesh,
+    # not leave the LM unsharded
+    executor = _build_cc_executor(
+        tmp_path, {"data": 4, "pipe": 3, "model": 2}
+    )
+    assert not executor.pipelined
+    assert executor.mesh is not None
+    q = executor.model.params["lm"]["encoder"]["self_attn"]["q"]
+    assert not q.sharding.is_fully_replicated

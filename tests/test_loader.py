@@ -180,3 +180,30 @@ class TestOptimization:
         assert float(jnp.abs(updates["w"]).sum()) == 0.0
         updates, state = tx.update(grads, state, params)
         assert float(jnp.abs(updates["w"]).sum()) > 0.0
+
+
+class TestThreadSafeTokenizerReclaim:
+    def test_copies_reclaimed_across_pools(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from explicit_alignment_for_vqa_tasks_tpu.data.tokenization import (
+            ThreadSafeTokenizer,
+        )
+
+        class Dummy:
+            def __init__(self):
+                self.calls = 0
+
+            def __call__(self, text):
+                self.calls += 1
+                return text.upper()
+
+        tok = ThreadSafeTokenizer(Dummy())
+        # simulate per-epoch pool recreation (the leak scenario: each new
+        # pool's threads used to deepcopy-and-pin forever)
+        for _ in range(6):
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                list(pool.map(tok, ["a", "b", "c", "d"] * 4))
+        d = object.__getattribute__(tok, "__dict__")
+        total = len(d["_assigned"]) + len(d["_free"])
+        assert total <= 8, f"tokenizer copies accumulated: {total}"
