@@ -564,3 +564,22 @@ class TestConceptualCaptionsTraining:
             get_checkpoint_model_path,
         )
         assert get_checkpoint_model_path(config.saved_model_path) is not None
+
+
+class TestEvalPipelining:
+    def test_pipelined_loop_matches_serial(self, tmp_path):
+        """The 1-deep dispatch/collect pipeline (BaseExecutor._eval_loop)
+        must produce exactly the outputs of the serial per-batch loop."""
+        fixtures = write_vqa_fixtures(tmp_path)
+        config = make_test_config(tmp_path, fixtures)
+        executor = build_executor(config)
+
+        serial = [
+            executor._generative_step(batch, i)
+            for i, batch in enumerate(executor.test_dataloader)
+        ]
+        pipelined = executor._eval_loop()
+        assert len(pipelined) == len(serial) >= 2
+        for a, b in zip(serial, pipelined):
+            assert a["predictions"] == b["predictions"]
+            assert a["question_ids"] == b["question_ids"]
