@@ -58,6 +58,14 @@ class CLIPVisionConfig:
     # XLA otherwise.
     fused_block: bool = False
     fused_block_group: int = 0   # images per program; 0 = auto
+    # int8 whole-block kernel (ops/fused_attention_block.fused_vit_block_q8):
+    # the six projection matmuls run int8 on the MXU (~1.9x the bf16
+    # rate on v5e); per-row dynamic activation quant, per-channel weight
+    # quant (params must carry "blocks_q8" from quantize_vision_blocks).
+    # OPT-IN for bulk feature extraction — int8-level embedding drift
+    # (cosine vs bf16 pinned in tests) is not bit-parity with the
+    # reference's fp16 CLIP.
+    int8: bool = False
 
     @property
     def grid(self) -> int:
@@ -323,6 +331,24 @@ def init_clip_vision_params(
     }
 
 
+def quantize_vision_blocks(params: Params) -> Params:
+    """Host-side, once: per-output-channel int8 quantization of the six
+    projection matrices of every encoder block. Returns the "blocks_q8"
+    pytree consumed by ``clip_encode_image`` when ``cfg.int8``."""
+    import numpy as np
+
+    from ..ops.fused_attention_block import quantize_weight_i8
+
+    blocks = params["blocks"]
+    out: Params = {}
+    for name in ("q", "k", "v", "o", "mlp_fc", "mlp_proj"):
+        w = np.asarray(blocks[name], np.float32)  # (layers, d_in, d_out)
+        pairs = [quantize_weight_i8(w[i]) for i in range(w.shape[0])]
+        out[name] = jnp.asarray(np.stack([q for q, _ in pairs]))
+        out[name + "_scale"] = jnp.asarray(np.stack([s for _, s in pairs]))
+    return out
+
+
 def patch_embed(params: Params, cfg: CLIPVisionConfig,
                 images: jax.Array) -> jax.Array:
     """(B, H, W, 3) NHWC -> (B, grid*grid, width) via reshape + matmul."""
@@ -356,6 +382,52 @@ def clip_encode_image(
     x = x + params["position_embedding"].astype(cfg.dtype)[None]
     x = _layer_norm(x, params["pre_ln_scale"], params["pre_ln_bias"],
                     cfg.layer_norm_epsilon)
+
+    if cfg.int8 and "blocks_q8" in params and x.shape[1] <= 128:
+        from ..ops.fused_attention_block import fused_vit_block_q8
+
+        def layer(carry, lp):
+            return fused_vit_block_q8(
+                carry, lp["ln1_scale"], lp["ln1_bias"],
+                lp["q8"], lp["q8_scale"], lp["q_bias"],
+                lp["k8"], lp["k8_scale"], lp["k_bias"],
+                lp["v8"], lp["v8_scale"], lp["v_bias"],
+                lp["o8"], lp["o8_scale"], lp["o_bias"],
+                lp["ln2_scale"], lp["ln2_bias"],
+                lp["fc8"], lp["fc8_scale"], lp["mlp_fc_bias"],
+                lp["pr8"], lp["pr8_scale"], lp["mlp_proj_bias"],
+                num_heads=cfg.num_heads,
+                group=cfg.fused_block_group or _fused_group(x.shape[0]),
+                eps=cfg.layer_norm_epsilon,
+            ), None
+
+        q8 = params["blocks_q8"]
+        stacked = {
+            k: params["blocks"][k]
+            for k in ("ln1_scale", "ln1_bias", "ln2_scale", "ln2_bias",
+                      "q_bias", "k_bias", "v_bias", "o_bias",
+                      "mlp_fc_bias", "mlp_proj_bias")
+        }
+        stacked.update({
+            "q8": q8["q"], "q8_scale": q8["q_scale"],
+            "k8": q8["k"], "k8_scale": q8["k_scale"],
+            "v8": q8["v"], "v8_scale": q8["v_scale"],
+            "o8": q8["o"], "o8_scale": q8["o_scale"],
+            "fc8": q8["mlp_fc"], "fc8_scale": q8["mlp_fc_scale"],
+            "pr8": q8["mlp_proj"], "pr8_scale": q8["mlp_proj_scale"],
+        })
+        x, _ = jax.lax.scan(layer, x, stacked)
+        pooled = _layer_norm(
+            x[:, 0], params["post_ln_scale"], params["post_ln_bias"],
+            cfg.layer_norm_epsilon,
+        )
+        if project and "projection" in params:
+            pooled = jnp.einsum(
+                "bd,dp->bp", pooled,
+                params["projection"].astype(pooled.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(pooled.dtype)
+        return pooled
 
     def layer(carry, layer_p):
         return _encoder_block(

@@ -374,6 +374,149 @@ def fused_t5_ffn(
     )(*args)
 
 
+def _row_quant_i8(h: jax.Array) -> tuple:
+    """Per-row symmetric int8 quantization of an fp32 (rows, D) tile.
+    Returns (int8 values, per-row fp32 dequant scales)."""
+    amax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(h / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_weight_i8(w) -> tuple:
+    """Per-output-channel symmetric int8 quantization of a (D_in, D_out)
+    weight matrix (host-side, once). Returns (int8 weights, (D_out,)
+    fp32 dequant scales)."""
+    import numpy as np
+
+    w = np.asarray(w, np.float32)
+    scale = np.maximum(np.abs(w).max(axis=0), 1e-8) / 127.0
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
+def _make_vit_block_q8_kernel(group: int, seq: int, num_heads: int,
+                              head_dim: int, scale: float, eps: float,
+                              out_dtype):
+    """int8 variant of the whole-ViT-block kernel: the six projection
+    matmuls (q/k/v/o/fc/proj) run int8 x int8 -> int32 on the MXU
+    (measured 366 TOPS on this v5e vs 190.6 TFLOP/s bf16); activations
+    are re-quantized per row in VMEM before each matmul; attention
+    scores/PV stay bf16 (=<4% of FLOPs); LN, softmax, and the residual
+    stream stay fp32. Weights must be pre-quantized per output channel
+    (quantize_weight_i8)."""
+    d_model = num_heads * head_dim
+    gl = group * seq
+
+    def mm_q8(h32, w_ref, s_ref):
+        hq, hs = _row_quant_i8(h32)
+        acc = jax.lax.dot_general(
+            hq, w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * hs * s_ref[:].astype(jnp.float32)
+
+    def kernel(x_ref, ln1s_ref, ln1b_ref,
+               wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref,
+               wv_ref, sv_ref, bv_ref, wo_ref, so_ref, bo_ref,
+               ln2s_ref, ln2b_ref,
+               wfc_ref, sfc_ref, bfc_ref, wpr_ref, spr_ref, bpr_ref,
+               o_ref):
+        x32 = x_ref[:].reshape(gl, d_model).astype(jnp.float32)
+        h = _ln_f32(x32, ln1s_ref[:], ln1b_ref[:], eps)
+
+        q = (mm_q8(h, wq_ref, sq_ref)
+             + bq_ref[:].astype(jnp.float32)) * jnp.float32(scale)
+        k = mm_q8(h, wk_ref, sk_ref) + bk_ref[:].astype(jnp.float32)
+        v = mm_q8(h, wv_ref, sv_ref) + bv_ref[:].astype(jnp.float32)
+
+        row_img = jax.lax.broadcasted_iota(jnp.int32, (gl, gl), 0) // seq
+        col_img = jax.lax.broadcasted_iota(jnp.int32, (gl, gl), 1) // seq
+        blockmask = jnp.where(row_img == col_img, 0.0, -1e30)
+
+        outs = []
+        for hd in range(num_heads):
+            sl = slice(hd * head_dim, (hd + 1) * head_dim)
+            s = jax.lax.dot_general(
+                q[:, sl].astype(jnp.bfloat16), k[:, sl].astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + blockmask
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+            outs.append(jax.lax.dot_general(
+                p, v[:, sl].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        attn = jnp.concatenate(outs, axis=-1)
+        y = mm_q8(attn, wo_ref, so_ref) + bo_ref[:].astype(jnp.float32)
+        r1 = x32 + y
+
+        h2 = _ln_f32(r1, ln2s_ref[:], ln2b_ref[:], eps)
+        hid = mm_q8(h2, wfc_ref, sfc_ref) + bfc_ref[:].astype(jnp.float32)
+        hid = hid * jax.nn.sigmoid(1.702 * hid)          # quickGELU fp32
+        mlp = mm_q8(hid, wpr_ref, spr_ref) + bpr_ref[:].astype(jnp.float32)
+        o_ref[:] = (r1 + mlp).reshape(group, seq, d_model).astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "group", "eps", "interpret")
+)
+def fused_vit_block_q8(
+    x: jax.Array,            # (B, L, D) — PRE-LN residual stream
+    ln1_scale: jax.Array, ln1_bias: jax.Array,
+    wq: jax.Array, sq: jax.Array, bq: jax.Array,
+    wk: jax.Array, sk: jax.Array, bk: jax.Array,
+    wv: jax.Array, sv: jax.Array, bv: jax.Array,
+    wo: jax.Array, so: jax.Array, bo: jax.Array,
+    ln2_scale: jax.Array, ln2_bias: jax.Array,
+    w_fc: jax.Array, s_fc: jax.Array, b_fc: jax.Array,
+    w_proj: jax.Array, s_proj: jax.Array, b_proj: jax.Array,
+    num_heads: int,
+    group: int = 4,
+    eps: float = 1e-5,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """int8 whole-ViT-block kernel; weight args are int8 matrices with
+    per-output-channel fp32 scales (quantize_weight_i8). Opt-in for bulk
+    feature extraction where int8-level embedding drift is acceptable
+    (cosine vs the bf16 kernel pinned in tests)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, seq, d_model = x.shape
+    while batch % group:
+        group //= 2
+    group = max(group, 1)
+    head_dim = d_model // num_heads
+    scale = head_dim ** -0.5
+    d_ff = w_fc.shape[1]
+    kernel = _make_vit_block_q8_kernel(group, seq, num_heads, head_dim,
+                                       scale, eps, x.dtype)
+    xspec = pl.BlockSpec((group, seq, d_model), lambda i: (i, 0, 0))
+    vec = pl.BlockSpec((d_model,), lambda i: (0,))
+    ff_vec = pl.BlockSpec((d_ff,), lambda i: (0,))
+    mat = pl.BlockSpec((d_model, d_model), lambda i: (0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // group,),
+        in_specs=[
+            xspec, vec, vec,
+            mat, vec, vec, mat, vec, vec, mat, vec, vec, mat, vec, vec,
+            vec, vec,
+            pl.BlockSpec((d_model, d_ff), lambda i: (0, 0)), ff_vec, ff_vec,
+            pl.BlockSpec((d_ff, d_model), lambda i: (0, 0)), vec, vec,
+        ],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((batch, seq, d_model), x.dtype),
+        interpret=interpret,
+    )(x, ln1_scale, ln1_bias,
+      wq, sq, bq, wk, sk, bk, wv, sv, bv, wo, so, bo,
+      ln2_scale, ln2_bias, w_fc, s_fc, b_fc, w_proj, s_proj, b_proj)
+
+
 def _make_gpt2_block_kernel(group: int, seq: int, num_heads: int,
                             head_dim: int, scale: float, eps: float,
                             out_dtype):

@@ -59,6 +59,7 @@ class ClipImageEncoder:
         batch_size: int = 256,
         param_dtype: Any = None,
         use_pallas: bool = False,
+        int8: bool = False,
     ):
         import functools
 
@@ -86,6 +87,15 @@ class ClipImageEncoder:
                 jax.random.PRNGKey(0), self.cfg, param_dtype
             )
         self.params = params
+        if int8:
+            # opt-in int8 bulk-extraction mode (cosine vs bf16 ~0.9998;
+            # see ops/fused_attention_block.fused_vit_block_q8)
+            import dataclasses
+
+            from ..models.clip import quantize_vision_blocks
+
+            self.params["blocks_q8"] = quantize_vision_blocks(self.params)
+            self.cfg = dataclasses.replace(self.cfg, int8=True)
 
         @functools.partial(jax.jit, static_argnames=())
         def encode(params, images):
