@@ -429,6 +429,62 @@ def clip_encode_image(
             ).astype(pooled.dtype)
         return pooled
 
+    if cfg.int8 and "blocks_q8" in params and x.shape[1] > 128:
+        # long sequences: bf16 projections + fused attention core (as in
+        # the fused_block path) but the MLP runs the int8 kernel — the
+        # XLA int8 MLP is neutral (quant passes round-trip HBM), the
+        # fused one keeps them in VMEM
+        from ..ops.fused_attention_block import (
+            attention_core,
+            fused_mlp_block_q8,
+        )
+
+        dt = cfg.dtype
+        head_dim = cfg.width // cfg.num_heads
+        q8 = params["blocks_q8"]
+
+        def layer(carry, lp):
+            ln1 = _layer_norm(carry, lp["ln1_scale"], lp["ln1_bias"],
+                              cfg.layer_norm_epsilon)
+            q = jnp.einsum("bld,de->ble", ln1, lp["q"].astype(dt),
+                           preferred_element_type=jnp.float32).astype(dt)
+            q = q + lp["q_bias"].astype(dt)
+            k = jnp.einsum("bld,de->ble", ln1, lp["k"].astype(dt),
+                           preferred_element_type=jnp.float32).astype(dt)
+            k = k + lp["k_bias"].astype(dt)
+            v = jnp.einsum("bld,de->ble", ln1, lp["v"].astype(dt),
+                           preferred_element_type=jnp.float32).astype(dt)
+            v = v + lp["v_bias"].astype(dt)
+            attn = attention_core(q * (head_dim ** -0.5), k, v,
+                                  cfg.num_heads, group=1)
+            attn = jnp.einsum("ble,ed->bld", attn, lp["o"].astype(dt),
+                              preferred_element_type=jnp.float32).astype(dt)
+            y = carry + attn + lp["o_bias"].astype(dt)
+            return fused_mlp_block_q8(
+                y, lp["ln2_scale"], lp["ln2_bias"],
+                lp["fc8"], lp["fc8_scale"], lp["mlp_fc_bias"],
+                lp["pr8"], lp["pr8_scale"], lp["mlp_proj_bias"],
+                group=1, eps=cfg.layer_norm_epsilon,
+            ), None
+
+        stacked = dict(params["blocks"])
+        stacked.update({
+            "fc8": q8["mlp_fc"], "fc8_scale": q8["mlp_fc_scale"],
+            "pr8": q8["mlp_proj"], "pr8_scale": q8["mlp_proj_scale"],
+        })
+        x, _ = jax.lax.scan(layer, x, stacked)
+        pooled = _layer_norm(
+            x[:, 0], params["post_ln_scale"], params["post_ln_bias"],
+            cfg.layer_norm_epsilon,
+        )
+        if project and "projection" in params:
+            pooled = jnp.einsum(
+                "bd,dp->bp", pooled,
+                params["projection"].astype(pooled.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(pooled.dtype)
+        return pooled
+
     def layer(carry, layer_p):
         return _encoder_block(
             layer_p, carry, None, cfg.num_heads, cfg.layer_norm_epsilon,

@@ -289,6 +289,74 @@ def fused_mlp_block(
       b_proj)
 
 
+def _make_mlp_q8_kernel(group: int, seq: int, d_model: int, d_ff: int,
+                        eps: float, out_dtype):
+    """int8 twin of _make_mlp_kernel: both MLP matmuls int8 on the MXU;
+    the per-row activation quant passes stay in VMEM (in XLA they
+    round-trip the (B,L,4D) hidden through HBM and erase the win —
+    measured neutral 199.6 vs 204.4 ms at ViT-L shapes)."""
+    gl = group * seq
+
+    def kernel(x_ref, lns_ref, lnb_ref, wfc_ref, sfc_ref, bfc_ref,
+               wpr_ref, spr_ref, bpr_ref, o_ref):
+        x32 = x_ref[:].reshape(gl, d_model).astype(jnp.float32)
+        h = _ln_f32(x32, lns_ref[:], lnb_ref[:], eps)
+        hq, hs = _row_quant_i8(h)
+        acc = jax.lax.dot_general(
+            hq, wfc_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        hid = (acc.astype(jnp.float32) * hs * sfc_ref[:].astype(jnp.float32)
+               + bfc_ref[:].astype(jnp.float32))
+        hid = hid * jax.nn.sigmoid(1.702 * hid)          # quickGELU fp32
+        gq, gs = _row_quant_i8(hid)
+        acc2 = jax.lax.dot_general(
+            gq, wpr_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = (acc2.astype(jnp.float32) * gs
+             * spr_ref[:].astype(jnp.float32)
+             + bpr_ref[:].astype(jnp.float32))
+        o_ref[:] = (x32 + y).reshape(group, seq, d_model).astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("group", "eps", "interpret"))
+def fused_mlp_block_q8(
+    x: jax.Array,            # (B, L, D) — PRE-LN residual stream
+    ln_scale: jax.Array, ln_bias: jax.Array,
+    w_fc: jax.Array, s_fc: jax.Array, b_fc: jax.Array,     # int8 + scales
+    w_proj: jax.Array, s_proj: jax.Array, b_proj: jax.Array,
+    group: int = 1,
+    eps: float = 1e-5,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """x + MLP(LN(x)) with both matmuls int8 (weights pre-quantized per
+    output channel, activations per row in VMEM). Same scoped-VMEM note
+    as fused_mlp_block (weights resident; int8 halves that footprint)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, seq, d_model = x.shape
+    assert batch % group == 0, (batch, group)
+    d_ff = w_fc.shape[1]
+    xspec = pl.BlockSpec((group, seq, d_model), lambda i: (i, 0, 0))
+    vec = pl.BlockSpec((d_model,), lambda i: (0,))
+    ff_vec = pl.BlockSpec((d_ff,), lambda i: (0,))
+    return pl.pallas_call(
+        _make_mlp_q8_kernel(group, seq, d_model, d_ff, eps, x.dtype),
+        grid=(batch // group,),
+        in_specs=[
+            xspec, vec, vec,
+            pl.BlockSpec((d_model, d_ff), lambda i: (0, 0)), ff_vec, ff_vec,
+            pl.BlockSpec((d_ff, d_model), lambda i: (0, 0)), vec, vec,
+        ],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((batch, seq, d_model), x.dtype),
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, w_fc, s_fc, b_fc, w_proj, s_proj, b_proj)
+
+
 def _make_t5_ffn_kernel(group: int, seq: int, d_model: int, d_ff: int,
                         gated: bool, eps: float, out_dtype):
     gl = group * seq

@@ -60,3 +60,22 @@ def test_int8_requires_quantized_blocks():
     q8_cfg = dataclasses.replace(cfg, int8=True)
     got = np.asarray(clip_encode_image(params, q8_cfg, images))
     np.testing.assert_allclose(got, exact, rtol=1e-6, atol=1e-6)
+
+
+def test_int8_long_sequence_tower_cosine():
+    # patch 2 @ 28px -> 197 tokens > 128: the attention-core +
+    # int8-fused-MLP split path
+    cfg = CLIPVisionConfig.small_test(patch_size=2)
+    params = init_clip_vision_params(jax.random.PRNGKey(4), cfg, jnp.float32)
+    params["blocks_q8"] = quantize_vision_blocks(params)
+    rng = np.random.default_rng(5)
+    images = jnp.asarray(
+        rng.standard_normal((2, 28, 28, 3)).astype(np.float32)
+    )
+    exact = np.asarray(clip_encode_image(params, cfg, images))
+    q8_cfg = dataclasses.replace(cfg, int8=True)
+    got = np.asarray(clip_encode_image(params, q8_cfg, images))
+    cos = (exact * got).sum(-1) / (
+        np.linalg.norm(exact, axis=-1) * np.linalg.norm(got, axis=-1)
+    )
+    assert np.all(cos > 0.995), cos
