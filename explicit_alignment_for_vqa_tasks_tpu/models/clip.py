@@ -437,6 +437,7 @@ def clip_encode_image(
         from ..ops.fused_attention_block import (
             attention_core,
             fused_mlp_block_q8,
+            fused_qkv_q8,
         )
 
         dt = cfg.dtype
@@ -444,19 +445,15 @@ def clip_encode_image(
         q8 = params["blocks_q8"]
 
         def layer(carry, lp):
-            ln1 = _layer_norm(carry, lp["ln1_scale"], lp["ln1_bias"],
-                              cfg.layer_norm_epsilon)
-            q = jnp.einsum("bld,de->ble", ln1, lp["q"].astype(dt),
-                           preferred_element_type=jnp.float32).astype(dt)
-            q = q + lp["q_bias"].astype(dt)
-            k = jnp.einsum("bld,de->ble", ln1, lp["k"].astype(dt),
-                           preferred_element_type=jnp.float32).astype(dt)
-            k = k + lp["k_bias"].astype(dt)
-            v = jnp.einsum("bld,de->ble", ln1, lp["v"].astype(dt),
-                           preferred_element_type=jnp.float32).astype(dt)
-            v = v + lp["v_bias"].astype(dt)
-            attn = attention_core(q * (head_dim ** -0.5), k, v,
-                                  cfg.num_heads, group=1)
+            q, k, v = fused_qkv_q8(
+                carry, lp["ln1_scale"], lp["ln1_bias"],
+                lp["q8"], lp["q8_scale"], lp["q_bias"],
+                lp["k8"], lp["k8_scale"], lp["k_bias"],
+                lp["v8"], lp["v8_scale"], lp["v_bias"],
+                scale=head_dim ** -0.5, group=1,
+                eps=cfg.layer_norm_epsilon,
+            )
+            attn = attention_core(q, k, v, cfg.num_heads, group=1)
             attn = jnp.einsum("ble,ed->bld", attn, lp["o"].astype(dt),
                               preferred_element_type=jnp.float32).astype(dt)
             y = carry + attn + lp["o_bias"].astype(dt)
@@ -469,6 +466,9 @@ def clip_encode_image(
 
         stacked = dict(params["blocks"])
         stacked.update({
+            "q8": q8["q"], "q8_scale": q8["q_scale"],
+            "k8": q8["k"], "k8_scale": q8["k_scale"],
+            "v8": q8["v"], "v8_scale": q8["v_scale"],
             "fc8": q8["mlp_fc"], "fc8_scale": q8["mlp_fc_scale"],
             "pr8": q8["mlp_proj"], "pr8_scale": q8["mlp_proj_scale"],
         })

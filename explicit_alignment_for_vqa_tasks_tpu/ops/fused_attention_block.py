@@ -357,6 +357,74 @@ def fused_mlp_block_q8(
     )(x, ln_scale, ln_bias, w_fc, s_fc, b_fc, w_proj, s_proj, b_proj)
 
 
+def _make_qkv_q8_kernel(group: int, seq: int, d_model: int, scale: float,
+                        eps: float, out_dtype):
+    """LN + q/k/v int8 projections in one program (long-sequence path
+    where the whole block doesn't fit VMEM). Emits PRE-SCALED q for
+    attention_core."""
+    gl = group * seq
+
+    def kernel(x_ref, lns_ref, lnb_ref,
+               wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref,
+               wv_ref, sv_ref, bv_ref, q_ref, k_ref, v_ref):
+        x32 = x_ref[:].reshape(gl, d_model).astype(jnp.float32)
+        h = _ln_f32(x32, lns_ref[:], lnb_ref[:], eps)
+        hq, hs = _row_quant_i8(h)
+
+        def proj(w_ref, s_ref, b_ref):
+            acc = jax.lax.dot_general(
+                hq, w_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return (acc.astype(jnp.float32) * hs
+                    * s_ref[:].astype(jnp.float32)
+                    + b_ref[:].astype(jnp.float32))
+
+        q = proj(wq_ref, sq_ref, bq_ref) * jnp.float32(scale)
+        q_ref[:] = q.reshape(group, seq, d_model).astype(out_dtype)
+        k_ref[:] = proj(wk_ref, sk_ref, bk_ref).reshape(
+            group, seq, d_model).astype(out_dtype)
+        v_ref[:] = proj(wv_ref, sv_ref, bv_ref).reshape(
+            group, seq, d_model).astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "group", "eps", "interpret")
+)
+def fused_qkv_q8(
+    x: jax.Array,            # (B, L, D) — PRE-LN residual stream
+    ln_scale: jax.Array, ln_bias: jax.Array,
+    wq: jax.Array, sq: jax.Array, bq: jax.Array,
+    wk: jax.Array, sk: jax.Array, bk: jax.Array,
+    wv: jax.Array, sv: jax.Array, bv: jax.Array,
+    scale: float,
+    group: int = 1,
+    eps: float = 1e-5,
+    interpret: Optional[bool] = None,
+):
+    """Returns (q*scale, k, v), each (B, L, D) in x.dtype; weight args
+    int8 with per-channel fp32 scales (quantize_weight_i8)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, seq, d_model = x.shape
+    assert batch % group == 0, (batch, group)
+    xspec = pl.BlockSpec((group, seq, d_model), lambda i: (i, 0, 0))
+    vec = pl.BlockSpec((d_model,), lambda i: (0,))
+    mat = pl.BlockSpec((d_model, d_model), lambda i: (0, 0))
+    out = jax.ShapeDtypeStruct((batch, seq, d_model), x.dtype)
+    return pl.pallas_call(
+        _make_qkv_q8_kernel(group, seq, d_model, scale, eps, x.dtype),
+        grid=(batch // group,),
+        in_specs=[xspec, vec, vec,
+                  mat, vec, vec, mat, vec, vec, mat, vec, vec],
+        out_specs=[xspec, xspec, xspec],
+        out_shape=[out, out, out],
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, wq, sq, bq, wk, sk, bk, wv, sv, bv)
+
+
 def _make_t5_ffn_kernel(group: int, seq: int, d_model: int, d_ff: int,
                         gated: bool, eps: float, out_dtype):
     gl = group * seq
