@@ -383,7 +383,8 @@ def clip_encode_image(
     x = _layer_norm(x, params["pre_ln_scale"], params["pre_ln_bias"],
                     cfg.layer_norm_epsilon)
 
-    if cfg.int8 and "blocks_q8" in params and x.shape[1] <= 128:
+    int8_active = cfg.int8 and "blocks_q8" in params
+    if int8_active and x.shape[1] <= 128:
         from ..ops.fused_attention_block import fused_vit_block_q8
 
         def layer(carry, lp):
@@ -417,19 +418,8 @@ def clip_encode_image(
             "pr8": q8["mlp_proj"], "pr8_scale": q8["mlp_proj_scale"],
         })
         x, _ = jax.lax.scan(layer, x, stacked)
-        pooled = _layer_norm(
-            x[:, 0], params["post_ln_scale"], params["post_ln_bias"],
-            cfg.layer_norm_epsilon,
-        )
-        if project and "projection" in params:
-            pooled = jnp.einsum(
-                "bd,dp->bp", pooled,
-                params["projection"].astype(pooled.dtype),
-                preferred_element_type=jnp.float32,
-            ).astype(pooled.dtype)
-        return pooled
 
-    if cfg.int8 and "blocks_q8" in params and x.shape[1] > 128:
+    elif int8_active:
         # long sequences: bf16 projections + fused attention core (as in
         # the fused_block path) but the MLP runs the int8 kernel — the
         # XLA int8 MLP is neutral (quant passes round-trip HBM), the
@@ -464,7 +454,12 @@ def clip_encode_image(
                 group=1, eps=cfg.layer_norm_epsilon,
             ), None
 
-        stacked = dict(params["blocks"])
+        stacked = {
+            k: params["blocks"][k]
+            for k in ("ln1_scale", "ln1_bias", "ln2_scale", "ln2_bias",
+                      "q_bias", "k_bias", "v_bias", "o", "o_bias",
+                      "mlp_fc_bias", "mlp_proj_bias")
+        }
         stacked.update({
             "q8": q8["q"], "q8_scale": q8["q_scale"],
             "k8": q8["k"], "k8_scale": q8["k_scale"],
@@ -473,28 +468,19 @@ def clip_encode_image(
             "pr8": q8["mlp_proj"], "pr8_scale": q8["mlp_proj_scale"],
         })
         x, _ = jax.lax.scan(layer, x, stacked)
-        pooled = _layer_norm(
-            x[:, 0], params["post_ln_scale"], params["post_ln_bias"],
-            cfg.layer_norm_epsilon,
-        )
-        if project and "projection" in params:
-            pooled = jnp.einsum(
-                "bd,dp->bp", pooled,
-                params["projection"].astype(pooled.dtype),
-                preferred_element_type=jnp.float32,
-            ).astype(pooled.dtype)
-        return pooled
 
-    def layer(carry, layer_p):
-        return _encoder_block(
-            layer_p, carry, None, cfg.num_heads, cfg.layer_norm_epsilon,
-            use_pallas=use_pallas, fast_attention=cfg.fast_attention,
-            fused_attention=cfg.fused_attention,
-            fused_block=cfg.fused_block,
-            fused_block_group=cfg.fused_block_group,
-        ), None
+    else:
+        def layer(carry, layer_p):
+            return _encoder_block(
+                layer_p, carry, None, cfg.num_heads, cfg.layer_norm_epsilon,
+                use_pallas=use_pallas, fast_attention=cfg.fast_attention,
+                fused_attention=cfg.fused_attention,
+                fused_block=cfg.fused_block,
+                fused_block_group=cfg.fused_block_group,
+            ), None
 
-    x, _ = jax.lax.scan(layer, x, params["blocks"])
+        x, _ = jax.lax.scan(layer, x, params["blocks"])
+
     pooled = _layer_norm(
         x[:, 0], params["post_ln_scale"], params["post_ln_bias"],
         cfg.layer_norm_epsilon,

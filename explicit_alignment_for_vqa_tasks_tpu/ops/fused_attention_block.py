@@ -623,9 +623,10 @@ def fused_vit_block_q8(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     batch, seq, d_model = x.shape
-    while batch % group:
-        group //= 2
-    group = max(group, 1)
+    # same contract as the bf16 twin fused_vit_block: an explicit group
+    # must divide the batch (callers using _fused_group always satisfy
+    # this) — silent degradation would hide a 4x program-count regression
+    assert batch % group == 0, (batch, group)
     head_dim = d_model // num_heads
     scale = head_dim ** -0.5
     d_ff = w_fc.shape[1]

@@ -75,6 +75,15 @@ class ClipImageEncoder:
         self.cfg = cfg or CLIPVisionConfig.vit_l_14_336()
         self.batch_size = batch_size
         param_dtype = param_dtype or jnp.bfloat16
+        if int8 and self.cfg.seq_len > 128:
+            # the long-sequence int8 kernels (ViT-L) hold weights in VMEM
+            # beyond the 16 MB scoped default; must be raised BEFORE any
+            # jax computation initializes the backend (param init below
+            # counts) — a too-late call logs a warning and the first
+            # encode would fail to compile
+            from ..utils.tpu_flags import ensure_scoped_vmem_limit
+
+            ensure_scoped_vmem_limit(65536)
         if params is None:
             params = self._try_load_hf(model_version, param_dtype)
         if params is None:
@@ -88,12 +97,13 @@ class ClipImageEncoder:
             )
         self.params = params
         if int8:
-            # opt-in int8 bulk-extraction mode (cosine vs bf16 ~0.9998;
+            # opt-in int8 bulk-extraction mode (cosine vs bf16 ~0.9995+;
             # see ops/fused_attention_block.fused_vit_block_q8)
             import dataclasses
 
             from ..models.clip import quantize_vision_blocks
 
+            self.params = dict(params)  # don't mutate the caller's dict
             self.params["blocks_q8"] = quantize_vision_blocks(self.params)
             self.cfg = dataclasses.replace(self.cfg, int8=True)
 

@@ -99,6 +99,11 @@ def main() -> None:
     parser.add_argument("--limit", type=int, default=0)
     parser.add_argument("--batch_size", type=int, default=512)
     parser.add_argument("--num_threads", type=int, default=20)
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="int8 bulk-extraction mode (~1.5x throughput; embedding "
+             "cosine vs bf16 >= 0.9995, not bit-parity with fp16 CLIP)",
+    )
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -109,7 +114,10 @@ def main() -> None:
         {"image_url": r["image_url"], "caption": r["caption"]}
         for r in (ds if not args.limit else ds.select(range(args.limit)))
     ]
-    extract_rows(rows, args.out, batch_size=args.batch_size,
+    encoder = ClipImageEncoder(batch_size=args.batch_size,
+                               int8=args.int8) if args.int8 else None
+    extract_rows(rows, args.out, encoder=encoder,
+                 batch_size=args.batch_size,
                  num_threads=args.num_threads)
 
 

@@ -87,10 +87,16 @@ def main() -> None:
     parser.add_argument(
         "--model_version", default="openai/clip-vit-large-patch14-336"
     )
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="int8 bulk-extraction mode (~1.5x throughput; embedding "
+             "cosine vs bf16 >= 0.9995, not bit-parity with fp16 CLIP)",
+    )
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
     encoder = ClipImageEncoder(
-        model_version=args.model_version, batch_size=args.batch_size
+        model_version=args.model_version, batch_size=args.batch_size,
+        int8=args.int8,
     )
     extract(args.question_file, args.image_dir, args.subtype, args.out,
             batch_size=args.batch_size, encoder=encoder)

@@ -79,3 +79,25 @@ def test_int8_long_sequence_tower_cosine():
         np.linalg.norm(exact, axis=-1) * np.linalg.norm(got, axis=-1)
     )
     assert np.all(cos > 0.995), cos
+
+
+def test_clip_image_encoder_int8_roundtrip():
+    from explicit_alignment_for_vqa_tasks_tpu.tools.clip_encoder import (
+        ClipImageEncoder,
+    )
+
+    cfg = CLIPVisionConfig.small_test()
+    params = init_clip_vision_params(jax.random.PRNGKey(9), cfg, jnp.float32)
+    base = ClipImageEncoder(cfg=cfg, params=params, batch_size=4)
+    enc = ClipImageEncoder(cfg=cfg, params=params, batch_size=4, int8=True)
+    # caller's dict must NOT be mutated
+    assert "blocks_q8" not in params
+    assert enc.cfg.int8 and "blocks_q8" in enc.params
+    rng = np.random.default_rng(10)
+    images = rng.standard_normal((4, 28, 28, 3)).astype(np.float32)
+    a = np.asarray(base.encode_batch(images))
+    b = np.asarray(enc.encode_batch(images))
+    cos = (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+    )
+    assert np.all(cos > 0.995), cos
