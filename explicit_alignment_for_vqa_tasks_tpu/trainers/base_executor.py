@@ -272,9 +272,13 @@ class BaseExecutor(MetricsProcessor):
         1-deep dispatch/collect pipeline when the subclass provides
         ``_dispatch_generative`` / ``_collect_generative``: jax's async
         dispatch lets the device run batch N+1's generate while the host
-        fetches and detokenizes batch N (the host side costs ~55 ms of
-        relay latency plus tokenizer decode per batch, which a serial
-        loop adds straight to device time)."""
+        fetches and detokenizes batch N (a serial loop adds the host
+        work straight to device time). Measured NEUTRAL (0.99x) through
+        this environment's axon relay, whose execution only starts at
+        the fetch (tools/eval_pipeline_bench.py) — retained because on
+        standard PJRT runtimes dispatch is genuinely asynchronous, and
+        equivalence with the serial loop is pinned by
+        tests/test_e2e.py::TestEvalPipelining."""
         outputs: List[Dict] = []
         dispatch = getattr(self, "_dispatch_generative", None)
         collect = getattr(self, "_collect_generative", None)
