@@ -156,12 +156,11 @@ def _generate_main(
         lm_params, cfg.lm, inputs_embeds=joint, attention_mask=joint_mask
     )
     if num_beams > 1:
-        beam_tokens, beam_scores = _decoding.beam_search_t5(
+        # returns true per-token logprobs of the winning hypothesis, so
+        # sequence_scores composes with beam outputs like with greedy
+        return _decoding.beam_search_t5(
             lm_params, cfg.lm, hidden, joint_mask,
             num_beams=num_beams, max_new_tokens=max_new_tokens,
-        )
-        return beam_tokens, jnp.broadcast_to(
-            beam_scores[:, None] / max_new_tokens, beam_tokens.shape
         )
     return _decoding.greedy_decode_t5(lm_params, cfg.lm, hidden, joint_mask,
                             max_new_tokens)
@@ -178,12 +177,9 @@ def _generate_no_prefix(
         lm_params, cfg.lm, input_ids=tokens, attention_mask=mask
     )
     if num_beams > 1:
-        beam_tokens, beam_scores = _decoding.beam_search_t5(
+        return _decoding.beam_search_t5(
             lm_params, cfg.lm, hidden, mask,
             num_beams=num_beams, max_new_tokens=max_new_tokens,
-        )
-        return beam_tokens, jnp.broadcast_to(
-            beam_scores[:, None] / max_new_tokens, beam_tokens.shape
         )
     return _decoding.greedy_decode_t5(lm_params, cfg.lm, hidden, mask, max_new_tokens)
 
@@ -305,8 +301,9 @@ class VCT0Model:
         num_beams: int = 1,
     ) -> Tuple[jax.Array, jax.Array]:
         """Returns (tokens (B, T), token_logprobs (B, T)). With
-        num_beams > 1 the second element is the per-sequence beam score
-        broadcast over positions."""
+        num_beams > 1 the logprobs are the winning hypothesis's true
+        per-token values (tracked through beam reorders), so
+        ``score_sequences`` works identically for greedy and beam."""
         cfg, params = self.cfg, self.params
         lm_params, mapper_params = params["lm"], params["mapper"]
 

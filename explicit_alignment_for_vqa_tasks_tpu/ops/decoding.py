@@ -198,7 +198,11 @@ def beam_search_t5(
 
     Fixed ``max_new_tokens`` steps (finished beams emit pad at zero cost);
     final hypothesis = argmax of score / len**length_penalty. Returns
-    (tokens (B, T), sequence_scores (B,)).
+    (tokens (B, T), token_logprobs (B, T)) — the TRUE per-step chosen-token
+    log-probabilities of the winning hypothesis, tracked through every beam
+    reorder (pad emissions after finish carry logprob 0). This matches the
+    greedy/forced decode surface, so ``sequence_scores`` composes correctly
+    with beam outputs (the beam x ensemble combination).
     """
     batch, _, _ = encoder_hidden.shape
     K = num_beams
@@ -216,6 +220,7 @@ def beam_search_t5(
     finished = jnp.zeros((batch * K,), dtype=bool)
     gen_len = jnp.zeros((batch * K,), dtype=jnp.int32)
     buf = jnp.zeros((batch * K, max_new_tokens), dtype=jnp.int32)
+    lp_buf = jnp.zeros((batch * K, max_new_tokens), dtype=jnp.float32)
 
     def reorder(tree, flat_beam):
         def pick(a):
@@ -232,7 +237,7 @@ def beam_search_t5(
         }
 
     def step(state, t):
-        last_token, cache, scores, finished, gen_len, buf = state
+        last_token, cache, scores, finished, gen_len, buf, lp_buf = state
         logits, cache = t5_lib.t5_decode_step(
             params, cfg, last_token, cache, mask
         )
@@ -252,27 +257,37 @@ def beam_search_t5(
         new_finished = was_finished | (new_token == cfg.eos_token_id)
         new_gen_len = gen_len[flat_beam] + (~was_finished).astype(jnp.int32)
         new_buf = jnp.take(buf, flat_beam, axis=0).at[:, t].set(new_token)
+        # chosen-token logprob = new cumulative score - parent beam's score
+        # (0 for pad emissions of finished beams, since pad_row scores 0)
+        new_scores = top_scores.reshape(-1)
+        token_lp = new_scores - scores[flat_beam]
+        new_lp_buf = jnp.take(lp_buf, flat_beam, axis=0).at[:, t].set(
+            token_lp
+        )
         new_cache = reorder(cache, flat_beam)
         return (
-            new_token, new_cache, top_scores.reshape(-1), new_finished,
-            new_gen_len, new_buf,
+            new_token, new_cache, new_scores, new_finished,
+            new_gen_len, new_buf, new_lp_buf,
         ), None
 
-    state = (start, cache, scores, finished, gen_len, buf)
+    state = (start, cache, scores, finished, gen_len, buf, lp_buf)
     state, _ = jax.lax.scan(
         step, state, jnp.arange(max_new_tokens), length=max_new_tokens
     )
-    _, _, scores, _, gen_len, buf = state
+    _, _, scores, _, gen_len, buf, lp_buf = state
     norm = scores / jnp.maximum(gen_len, 1).astype(jnp.float32) ** \
         length_penalty
     norm = norm.reshape(batch, K)
     best = jnp.argmax(norm, axis=1)
     buf = buf.reshape(batch, K, max_new_tokens)
+    lp_buf = lp_buf.reshape(batch, K, max_new_tokens)
     tokens = jnp.take_along_axis(
         buf, best[:, None, None], axis=1
     )[:, 0]
-    best_scores = jnp.take_along_axis(norm, best[:, None], axis=1)[:, 0]
-    return tokens, best_scores
+    token_logprobs = jnp.take_along_axis(
+        lp_buf, best[:, None, None], axis=1
+    )[:, 0]
+    return tokens, token_logprobs
 
 
 def sequence_scores(

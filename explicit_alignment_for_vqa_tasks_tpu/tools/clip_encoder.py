@@ -75,15 +75,24 @@ class ClipImageEncoder:
         self.cfg = cfg or CLIPVisionConfig.vit_l_14_336()
         self.batch_size = batch_size
         param_dtype = param_dtype or jnp.bfloat16
-        if int8 and self.cfg.seq_len > 128:
-            # the long-sequence int8 kernels (ViT-L) hold weights in VMEM
-            # beyond the 16 MB scoped default; must be raised BEFORE any
-            # jax computation initializes the backend (param init below
-            # counts) — a too-late call logs a warning and the first
-            # encode would fail to compile
+        if (int8 or self.cfg.fused_block) and self.cfg.seq_len > 128:
+            # the long-sequence fused/int8 kernels (ViT-L) hold MLP weights
+            # in VMEM beyond the 16 MB scoped default; must be raised
+            # BEFORE any jax computation initializes the backend (param
+            # init below counts) — a too-late call logs a warning and the
+            # first encode would fail to compile with an opaque XLA error
             from ..utils.tpu_flags import ensure_scoped_vmem_limit
 
-            ensure_scoped_vmem_limit(65536)
+            if not ensure_scoped_vmem_limit(65536) and \
+                    jax.default_backend() != "cpu":
+                raise RuntimeError(
+                    "fused_block/int8 at seq_len "
+                    f"{self.cfg.seq_len} needs a raised scoped-VMEM limit, "
+                    "but a JAX backend already initialized without it; "
+                    "construct ClipImageEncoder before any other JAX use "
+                    "or set LIBTPU_INIT_ARGS=--xla_tpu_scoped_vmem_limit_"
+                    "kib=65536 in the environment"
+                )
         if params is None:
             params = self._try_load_hf(model_version, param_dtype)
         if params is None:

@@ -68,6 +68,13 @@ class BaseExecutor(MetricsProcessor):
         sizes = dict(self.config.get("tpu", {}).get("mesh", {}))
         pipe = int(sizes.get("pipe", 1) or 1)
         is_t5 = "lm" in model.params and "shared" in model.params["lm"]
+        if pipe > 1 and not is_t5:
+            logger.warning(
+                "tpu.mesh.pipe=%d requested but the model is not T5-family:"
+                " pipeline parallelism is unsupported here, falling back to"
+                " the 2-D data x model mesh (pipe devices are reassigned)",
+                pipe,
+            )
         if pipe > 1 and is_t5:
             from ..parallel.pipeline import make_mesh_3d, shard_lm_params_pp
 

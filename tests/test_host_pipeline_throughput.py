@@ -1,10 +1,12 @@
 """Host data pipeline must outrun device demand at CC-training shapes.
 
 Round-1 review finding: no throughput evidence pinned host collate
-(tokenization) >= the device's examples/sec. The VC-T0 captioning train
-step is ~1.3 TFLOP/example fwd+bwd-through-LM (T0-3B, ~42 enc + ~32 dec
-tokens); at the chip's measured 128 TFLOP/s bf16 ceiling that bounds
-device demand below ~100 examples/s/chip. The host pipeline (real subword
+(tokenization) >= the device's examples/sec. The bound here is the
+MEASURED device consumption rate, not a FLOP-model estimate: round-2
+bench_train.py measured the VC-T0 captioning train step consuming
+328.6 examples/s/chip on the v5e at exactly these CC shapes (fused
+encoder attention, B=32; see PARITY.md "Performance" — consistent with
+the honest 190.6 TFLOP/s chip ceiling). The host pipeline (real subword
 tokenization + numpy assembly via the thread-pool BatchIterator) must
 sustain >= 1.5x that per chip — measured here with the committed REAL
 tokenizer fixture on CC-shaped captions.
@@ -20,9 +22,9 @@ from explicit_alignment_for_vqa_tasks_tpu.data.loader import (
     ListDataset,
 )
 
-# Upper bound on the device's CC-training consumption rate per chip
-# (see module docstring; the measured rate from bench_train.py is lower).
-DEVICE_DEMAND_PER_CHIP = 100.0
+# The device's MEASURED CC-training consumption rate per chip
+# (bench_train.py round 2 on v5e: 328.6 examples/s at these shapes).
+DEVICE_DEMAND_PER_CHIP = 328.6
 REQUIRED_HEADROOM = 1.5
 
 CAPTIONS = [
