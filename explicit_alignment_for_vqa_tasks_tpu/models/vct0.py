@@ -184,6 +184,82 @@ def _generate_no_prefix(
     return _decoding.greedy_decode_t5(lm_params, cfg.lm, hidden, mask, max_new_tokens)
 
 
+# --- pipelined twins (3-D (data, pipe, model) mesh; eval side) ----------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "num_prefixes", "max_new_tokens",
+                     "n_micro", "sequence_parallel"),
+)
+def _generate_main_pp(
+    lm_params: Params, mapper_params: Params, cfg: VCT0Config, mesh,
+    prefix: jax.Array, tokens: jax.Array, mask: jax.Array,
+    num_prefixes: int, max_new_tokens: int, n_micro: int,
+    sequence_parallel: bool,
+):
+    """Pipelined twin of _generate_main: GPipe encoder over `pipe`,
+    tp decode with pipe-gathered decoder params
+    (parallel/pipeline.py::greedy_generate_pp)."""
+    from ..parallel.pipeline import greedy_generate_pp
+
+    text_embeds = t5_lib.embed_tokens(lm_params, cfg.lm, tokens)
+    prefix_proj = project_prefix(cfg, mapper_params, prefix)
+    joint, joint_mask = insert_prefix_into_input(
+        tokens, text_embeds, prefix_proj.astype(text_embeds.dtype), mask,
+        prefix_length=cfg.prefix_length, num_prefixes=num_prefixes,
+        base_id=cfg.sentinel_base,
+    )
+    return greedy_generate_pp(
+        lm_params, cfg.lm, mesh, joint, joint_mask,
+        max_new_tokens=max_new_tokens, n_micro=n_micro,
+        sequence_parallel=sequence_parallel,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "max_new_tokens", "n_micro",
+                     "sequence_parallel"),
+)
+def _generate_no_prefix_pp(
+    lm_params: Params, cfg: VCT0Config, mesh, tokens: jax.Array,
+    mask: jax.Array, max_new_tokens: int, n_micro: int,
+    sequence_parallel: bool,
+):
+    from ..parallel.pipeline import greedy_generate_pp
+
+    embeds = t5_lib.embed_tokens(lm_params, cfg.lm, tokens)
+    return greedy_generate_pp(
+        lm_params, cfg.lm, mesh, embeds, mask,
+        max_new_tokens=max_new_tokens, n_micro=n_micro,
+        sequence_parallel=sequence_parallel,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "max_new_tokens", "n_micro",
+                     "sequence_parallel"),
+)
+def _generate_prefix_only_pp(
+    lm_params: Params, mapper_params: Params, cfg: VCT0Config, mesh,
+    prefix: jax.Array, max_new_tokens: int, n_micro: int,
+    sequence_parallel: bool,
+):
+    from ..parallel.pipeline import greedy_generate_pp
+
+    prefix_proj = project_prefix(cfg, mapper_params, prefix)
+    prefix_embeds = prefix_proj.reshape(
+        prefix.shape[0], -1, cfg.lm.d_model
+    ).astype(cfg.lm.dtype)
+    mask = jnp.ones(prefix_embeds.shape[:2], dtype=jnp.int32)
+    return greedy_generate_pp(
+        lm_params, cfg.lm, mesh, prefix_embeds, mask,
+        max_new_tokens=max_new_tokens, n_micro=n_micro,
+        sequence_parallel=sequence_parallel,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
 def _generate_prefix_only(
     lm_params: Params, mapper_params: Params, cfg: VCT0Config,
@@ -267,6 +343,18 @@ def _generate_one_at_a_time(
     )
 
 
+def _pad_rows(arr: Optional[jax.Array], target: int) -> Optional[jax.Array]:
+    """Pad the batch axis up to ``target`` rows by repeating the last row
+    (pipelined generation needs batch % (data x n_micro) == 0; padded
+    rows are sliced off the result)."""
+    if arr is None or arr.shape[0] == target:
+        return arr
+    reps = jnp.broadcast_to(
+        arr[-1:], (target - arr.shape[0],) + arr.shape[1:]
+    )
+    return jnp.concatenate([arr, reps], axis=0)
+
+
 class VCT0Model:
     """Thin orchestration wrapper over the jitted compute units.
 
@@ -278,6 +366,10 @@ class VCT0Model:
     def __init__(self, cfg: VCT0Config, params: Params):
         self.cfg = cfg
         self.params = params
+        # set by the executor when a 3-D (data, pipe, model) mesh is
+        # active: (mesh, n_micro, sequence_parallel). Routes the
+        # greedy generate paths through the pipelined twins.
+        self.pipeline_ctx = None
 
     # --- reference: VCT0Model.forward (vct0.py:380-394) ---
     def forward_loss(self, clip_embeddings: jax.Array,
@@ -306,6 +398,54 @@ class VCT0Model:
         ``score_sequences`` works identically for greedy and beam."""
         cfg, params = self.cfg, self.params
         lm_params, mapper_params = params["lm"], params["mapper"]
+        ctx = self.pipeline_ctx
+        orig_batch = None
+        if ctx is not None:
+            # pipelined paths need batch % (data x n_micro) == 0; pad by
+            # repeating the last row, slice the result back
+            mesh_, n_micro_, _ = ctx
+            need = mesh_.shape["data"] * n_micro_
+            ref = prefix if prefix is not None else question_tokens
+            if ref is not None and ref.shape[0] % need:
+                orig_batch = ref.shape[0]
+                target = ((orig_batch + need - 1) // need) * need
+                prefix = _pad_rows(prefix, target)
+                question_tokens = _pad_rows(question_tokens, target)
+                question_mask = _pad_rows(question_mask, target)
+        if orig_batch is not None:
+            tokens, lps = self._generate_inner(
+                prefix, question_tokens, question_mask, decoder_input_ids,
+                no_prefix, pass_examples_through_encoder_one_at_a_time,
+                num_shots, max_new_tokens, num_beams,
+            )
+            return tokens[:orig_batch], lps[:orig_batch]
+        return self._generate_inner(
+            prefix, question_tokens, question_mask, decoder_input_ids,
+            no_prefix, pass_examples_through_encoder_one_at_a_time,
+            num_shots, max_new_tokens, num_beams,
+        )
+
+    def _generate_inner(
+        self, prefix, question_tokens, question_mask, decoder_input_ids,
+        no_prefix, pass_examples_through_encoder_one_at_a_time, num_shots,
+        max_new_tokens, num_beams,
+    ) -> Tuple[jax.Array, jax.Array]:
+        cfg, params = self.cfg, self.params
+        lm_params, mapper_params = params["lm"], params["mapper"]
+        ctx = self.pipeline_ctx
+        if ctx is not None and (
+            pass_examples_through_encoder_one_at_a_time
+            or decoder_input_ids is not None
+            or num_beams > 1
+        ):
+            # defense in depth: the executor falls back to the 2-D mesh
+            # for these modes (BaseExecutor._pipeline_unsupported_reason)
+            raise RuntimeError(
+                "pipelined generation supports only the greedy main / "
+                "no_prefix / prefix-only paths; set tpu.mesh.pipe=1 (or "
+                "let the executor fall back) for one-at-a-time, forced-"
+                "decoder, or beam generation"
+            )
 
         if no_prefix:
             if pass_examples_through_encoder_one_at_a_time:
@@ -313,6 +453,13 @@ class VCT0Model:
                     lm_params, mapper_params, cfg, None, question_tokens,
                     question_mask, num_segments=question_tokens.shape[1],
                     max_new_tokens=max_new_tokens, with_prefix=False,
+                )
+            if ctx is not None:
+                mesh, n_micro, sp = ctx
+                return _generate_no_prefix_pp(
+                    lm_params, cfg, mesh, question_tokens, question_mask,
+                    max_new_tokens=max_new_tokens, n_micro=n_micro,
+                    sequence_parallel=sp,
                 )
             return _generate_no_prefix(
                 lm_params, cfg, question_tokens, question_mask,
@@ -331,6 +478,15 @@ class VCT0Model:
                 prefix.shape[1] if num_shots is None else num_shots + 1
             )
             if decoder_input_ids is None:
+                if ctx is not None:
+                    mesh, n_micro, sp = ctx
+                    return _generate_main_pp(
+                        lm_params, mapper_params, cfg, mesh, prefix,
+                        question_tokens, question_mask,
+                        num_prefixes=num_prefixes,
+                        max_new_tokens=max_new_tokens, n_micro=n_micro,
+                        sequence_parallel=sp,
+                    )
                 return _generate_main(
                     lm_params, mapper_params, cfg, prefix, question_tokens,
                     question_mask, num_prefixes=num_prefixes,
@@ -344,6 +500,13 @@ class VCT0Model:
             )
 
         # prefix-only captioning generation (reference: vct0.py:484-491)
+        if ctx is not None:
+            mesh, n_micro, sp = ctx
+            return _generate_prefix_only_pp(
+                lm_params, mapper_params, cfg, mesh, prefix,
+                max_new_tokens=max_new_tokens, n_micro=n_micro,
+                sequence_parallel=sp,
+            )
         return _generate_prefix_only(
             lm_params, mapper_params, cfg, prefix, max_new_tokens
         )

@@ -33,6 +33,13 @@ def make_mesh(config: Optional[Any] = None,
     if model in (-1, 0):
         model = 1
     data = sizes.get("data", -1)
+    pipe = int(sizes.get("pipe", 1) or 1)
+    if pipe > 1 and data not in (-1, 0) and data * pipe * model == n:
+        # caller fell back from a 3-D (data, pipe, model) request (e.g.
+        # unsupported eval mode): fold the pipe devices into data so the
+        # sizes still multiply to the device count
+        logger.info("folding pipe=%d into data for the 2-D mesh", pipe)
+        data = data * pipe
     if data in (-1, 0):
         data = n // model
     if data * model != n:

@@ -314,6 +314,44 @@ def _microbatch(x: jax.Array, m: int) -> jax.Array:
     return x.reshape(m, x.shape[0] // m, *x.shape[1:])
 
 
+def _encoder_pipeline(enc_p: Params, x: jax.Array, mask: jax.Array,
+                      cfg: T5Config, heads_local: int, seq: bool,
+                      n_micro: int, pp: int, tp: int) -> jax.Array:
+    """The GPipe encoder stack incl. final layernorm — runs INSIDE
+    shard_map. ``x`` is this data shard's (b_loc, L, D) embedded input;
+    returns (b_loc, L, D) encoder hidden states (full sequence,
+    replicated over `model` — each tp rank psums/all-gathers to the full
+    activation)."""
+    b_loc, length, _ = x.shape
+    m = n_micro
+    x = x.astype(cfg.dtype)
+    pos = compute_position_bias(
+        enc_p["rel_bias"], length, length, bidirectional=True, cfg=cfg
+    )  # (1, H_local, L, L)
+    mask_bias = jnp.where(
+        mask[:, None, None, :] > 0, 0.0, NEG_INF
+    ).astype(jnp.float32)
+    enc_bias = pos + mask_bias  # (b_loc, H_local, L, L)
+    enc_stacked = {
+        "self_attn": enc_p["self_attn"], "ffn": enc_p["ffn"],
+        "ln0": enc_p["ln0"], "ln1": enc_p["ln1"],
+    }
+    run_enc = _stage_runner(
+        _encoder_layer(cfg, heads_local, seq), enc_stacked,
+        remat=cfg.remat,
+    )
+    y_mb = gpipe(
+        run_enc, _microbatch(_shard_seq(x, tp) if seq else x, m),
+        {"bias": _microbatch(enc_bias, m)},
+        axis_name=PIPE_AXIS, n_stages=pp, n_micro=m,
+    )
+    y_full = y_mb.reshape(b_loc, y_mb.shape[2], -1)
+    if seq:
+        y_full = jax.lax.all_gather(y_full, MODEL_AXIS, axis=1,
+                                    tiled=True)
+    return rms_norm(y_full, enc_p["final_ln"], cfg.layer_norm_epsilon)
+
+
 # ---------------------------------------------------------------------------
 # Pipelined seq2seq forward loss
 # ---------------------------------------------------------------------------
@@ -373,32 +411,8 @@ def t5_forward_loss_pp(
         x = x.astype(cfg.dtype)
 
         # ---- encoder pipeline ----
-        pos = compute_position_bias(
-            enc_p["rel_bias"], length, length, bidirectional=True, cfg=cfg
-        )  # (1, H_local, L, L)
-        mask_bias = jnp.where(
-            mask[:, None, None, :] > 0, 0.0, NEG_INF
-        ).astype(jnp.float32)
-        enc_bias = pos + mask_bias  # (b_loc, H_local, L, L)
-        enc_stacked = {
-            "self_attn": enc_p["self_attn"], "ffn": enc_p["ffn"],
-            "ln0": enc_p["ln0"], "ln1": enc_p["ln1"],
-        }
-        run_enc = _stage_runner(
-            _encoder_layer(cfg, heads_local, seq), enc_stacked,
-            remat=cfg.remat,
-        )
-        y_mb = gpipe(
-            run_enc, _microbatch(_shard_seq(x, tp) if seq else x, m),
-            {"bias": _microbatch(enc_bias, m)},
-            axis_name=PIPE_AXIS, n_stages=pp, n_micro=m,
-        )
-        y_full = y_mb.reshape(b_loc, y_mb.shape[2], -1)
-        if seq:
-            y_full = jax.lax.all_gather(y_full, MODEL_AXIS, axis=1,
-                                        tiled=True)
-        enc_hidden = rms_norm(
-            y_full, enc_p["final_ln"], cfg.layer_norm_epsilon
+        enc_hidden = _encoder_pipeline(
+            enc_p, x, mask, cfg, heads_local, seq, m, pp, tp
         )
 
         # ---- decoder pipeline ----
@@ -490,4 +504,138 @@ def vct0_caption_loss_pp(
     return t5_forward_loss_pp(
         lm_params, cfg.lm, mesh, labels, inputs_embeds=prefix_embeds,
         n_micro=n_micro, sequence_parallel=sequence_parallel,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pipelined GENERATION (the eval side of the 3-D mesh)
+#
+# The flagship eval path (reference: src/models/vct0.py:396-491) under the
+# (data, pipe, model) mesh: the ENCODER — the dominant cost at few-shot
+# prompt lengths (PARITY.md: ~60% of the batch at B=32) — runs the same
+# GPipe schedule as training, stage-sharded over `pipe` with megatron tp
+# and optional sequence parallelism inside stages. The 20-step greedy
+# DECODE then runs tensor-parallel only, with the decoder's pipe-sharded
+# stacked-layer leaves gathered once per batch (`model`-axis splits are
+# preserved): a T0-3B decoder is ~1.4 GB bf16 / pipe stage, so the
+# transient gather is cheap next to the cross-KV cache, and the decode
+# reuses the KV-cached single-chip loop under GSPMD instead of paying a
+# per-token pipeline bubble.
+# ---------------------------------------------------------------------------
+
+def _check_pp_divisibility(cfg: T5Config, mesh: Mesh, batch: int,
+                           enc_len: int, n_micro: int,
+                           sequence_parallel: bool) -> tuple:
+    dp = mesh.shape[DATA_AXIS]
+    pp = mesh.shape[PIPE_AXIS]
+    tp = mesh.shape[MODEL_AXIS]
+    seq = bool(sequence_parallel) and tp > 1
+    if cfg.num_encoder_layers % pp:
+        raise ValueError(
+            f"encoder layers ({cfg.num_encoder_layers}) not divisible by "
+            f"pipe={pp}"
+        )
+    if cfg.num_heads % tp or cfg.d_ff % tp:
+        raise ValueError(
+            f"heads={cfg.num_heads} / d_ff={cfg.d_ff} not divisible by "
+            f"model={tp}"
+        )
+    if batch % (dp * n_micro):
+        raise ValueError(
+            f"batch={batch} not divisible by data({dp}) x n_micro({n_micro})"
+        )
+    if seq and enc_len % tp:
+        raise ValueError(
+            f"sequence_parallel: enc_len={enc_len} not divisible by "
+            f"model={tp}"
+        )
+    return dp, pp, tp, seq
+
+
+def t5_encode_pp(
+    params: Params,                     # FULL LM pytree (pipe-sharded)
+    cfg: T5Config,
+    mesh: Mesh,
+    inputs_embeds: jax.Array,           # (B, L, D)
+    attention_mask: Optional[jax.Array] = None,
+    n_micro: int = 2,
+    sequence_parallel: bool = False,
+) -> jax.Array:
+    """Pipelined twin of t5.t5_encode (from embedded inputs): GPipe over
+    `pipe`, megatron tp over `model`, independent pipelines per `data`
+    shard. Returns (B, L, D) encoder hidden states sharded over `data`."""
+    batch, enc_len, _ = inputs_embeds.shape
+    _, pp, tp, seq = _check_pp_divisibility(
+        cfg, mesh, batch, enc_len, n_micro, sequence_parallel
+    )
+    heads_local = cfg.num_heads // tp
+    if attention_mask is None:
+        attention_mask = jnp.ones((batch, enc_len), dtype=jnp.int32)
+
+    def enc_fn(enc_p, x, mask):
+        return _encoder_pipeline(
+            enc_p, x, mask, cfg, heads_local, seq, n_micro, pp, tp
+        )
+
+    enc_specs = pp_param_specs({"encoder": params["encoder"]})["encoder"]
+    shmapped = _shard_map(
+        enc_fn,
+        mesh=mesh,
+        in_specs=(enc_specs, P(DATA_AXIS, None, None), P(DATA_AXIS, None)),
+        out_specs=P(DATA_AXIS, None, None),
+        check_vma=False,
+    )
+    return shmapped(params["encoder"], inputs_embeds, attention_mask)
+
+
+def gather_decoder_over_pipe(params: Params, mesh: Mesh) -> Params:
+    """Re-constrain the decoder subtree so its pipe-sharded stacked-layer
+    leaves are gathered over `pipe` while keeping the `model`-axis
+    megatron splits. Under jit this lowers to one all-gather per leaf;
+    encoder leaves are untouched (and DCE'd by decode-only programs)."""
+    from jax.sharding import NamedSharding
+
+    specs = pp_param_specs({"decoder": params["decoder"]})["decoder"]
+
+    def drop_pipe(spec: P) -> P:
+        return P(*[None if ax == PIPE_AXIS else ax for ax in spec])
+
+    dec = jax.tree.map(
+        lambda x, s: jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, drop_pipe(s))
+        ),
+        params["decoder"], specs,
+    )
+    return {**params, "decoder": dec}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "max_new_tokens", "n_micro",
+                     "sequence_parallel"),
+)
+def greedy_generate_pp(
+    params: Params,
+    cfg: T5Config,
+    mesh: Mesh,
+    inputs_embeds: jax.Array,           # (B, L, D)
+    attention_mask: jax.Array,          # (B, L)
+    max_new_tokens: int = 20,
+    n_micro: int = 2,
+    sequence_parallel: bool = False,
+):
+    """Pipelined encoder + tp-sharded KV-cached greedy decode.
+
+    The pipelined eval twin of ops.decoding.encode_and_greedy_decode_t5;
+    returns (tokens (B, T), token_logprobs (B, T)) like the single-chip
+    path (equivalence pinned in tests/test_executor_mesh.py)."""
+    from ..ops.decoding import greedy_decode_t5
+
+    hidden = t5_encode_pp(
+        params, cfg, mesh, inputs_embeds, attention_mask,
+        n_micro=n_micro, sequence_parallel=sequence_parallel,
+    )
+    gathered = gather_decoder_over_pipe(params, mesh)
+    return greedy_decode_t5(
+        gathered, cfg, hidden, attention_mask, max_new_tokens
     )

@@ -75,6 +75,14 @@ class BaseExecutor(MetricsProcessor):
                 " the 2-D data x model mesh (pipe devices are reassigned)",
                 pipe,
             )
+        unsupported = self._pipeline_unsupported_reason() if pipe > 1 \
+            else None
+        if unsupported is not None:
+            logger.warning(
+                "tpu.mesh.pipe=%d requested but %s: falling back to the "
+                "2-D data x model mesh", pipe, unsupported,
+            )
+            pipe = 1
         if pipe > 1 and is_t5:
             from ..parallel.pipeline import make_mesh_3d, shard_lm_params_pp
 
@@ -112,6 +120,12 @@ class BaseExecutor(MetricsProcessor):
                 model.params["mapper"] = replicate_params(
                     self.mesh, model.params["mapper"]
                 )
+                # route the model's greedy generate paths through the
+                # pipelined twins (eval under the 3-D mesh)
+                if hasattr(model, "pipeline_ctx"):
+                    model.pipeline_ctx = (
+                        self.mesh, self.n_micro, self.sequence_parallel
+                    )
                 logger.info("pipelined mesh active: %s, n_micro=%d",
                             dict(self.mesh.shape), self.n_micro)
                 return
@@ -130,6 +144,15 @@ class BaseExecutor(MetricsProcessor):
         model.params["mapper"] = replicate_params(self.mesh,
                                                   model.params["mapper"])
         logger.info("mesh active: %s", dict(self.mesh.shape))
+
+    def _pipeline_unsupported_reason(self) -> Optional[str]:
+        """Return a human-readable reason when this executor's configured
+        modes cannot run under the pipelined (pipe > 1) mesh, or None.
+        The base supports pipelining (training loss + greedy generate
+        twins exist); eval executors with exotic generate modes override
+        this so _setup_mesh can fall back to the 2-D mesh instead of
+        leaving GSPMD to improvise on pipe-sharded params."""
+        return None
 
     def _shard(self, array) -> Any:
         """Shard a batch array's leading axis over the mesh `data` axis

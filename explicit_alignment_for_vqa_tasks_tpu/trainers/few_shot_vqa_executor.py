@@ -64,6 +64,25 @@ class FewShotVQAExecutor(BaseExecutor):
     def training_step(self, batch: AttrDict, batch_idx: int):
         return None
 
+    def _pipeline_unsupported_reason(self):
+        """Modes whose generate path has no pipelined twin (the pipelined
+        paths are greedy main / no_prefix / prefix-only; see
+        models/vct0.py twins). The 3-D mesh would otherwise leave GSPMD
+        to improvise on pipe-sharded params in these modes."""
+        additional = self.config.data_loader.additional
+        if additional.get("pass_examples_through_encoder_one_at_a_time", 0):
+            return ("pass_examples_through_encoder_one_at_a_time has no "
+                    "pipelined generate twin")
+        if int(additional.get("num_beams", 1) or 1) > 1:
+            return "beam search has no pipelined generate twin"
+        dec_mods = self.config.model_config.get(
+            "decoder_input_modules", {}
+        ).get("module_list", [])
+        if dec_mods:
+            return ("forced decoder_input_ids generation has no pipelined "
+                    "twin")
+        return None
+
     def trainable_state(self) -> Dict[str, Any]:
         return {"mapper": self.model.params["mapper"]}
 
