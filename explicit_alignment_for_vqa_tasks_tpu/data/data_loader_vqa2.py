@@ -312,6 +312,21 @@ class DataLoaderVQA2(DataLoaderWrapper):
         self.test_dataset = dataset_cls(
             self.config, dict(common, data=self.data.vqa_data.val, mode="test")
         )
+        # multi-process eval: each process evaluates its [i::P] question
+        # shard; predictions are re-united by gather_predictions_to_host0
+        # before the VQA protocol's full-coverage check
+        shard_id, num_shards = 0, 1
+        if self.config.data_loader.additional.get("shard_eval_by_process",
+                                                  1):
+            import jax
+
+            if jax.process_count() > 1:
+                shard_id = jax.process_index()
+                num_shards = jax.process_count()
+                logger.info(
+                    "sharding eval data by process: shard %d/%d",
+                    shard_id, num_shards,
+                )
         self.test_dataloader = BatchIterator(
             self.test_dataset,
             batch_size=self.config.valid.batch_size,
@@ -321,6 +336,8 @@ class DataLoaderVQA2(DataLoaderWrapper):
             num_workers=self.config.data_loader.additional.get(
                 "num_workers_test", 4
             ),
+            shard_id=shard_id,
+            num_shards=num_shards,
         )
         logger.info(
             "[Data Statistics] test batches: %d", len(self.test_dataloader)

@@ -39,6 +39,8 @@ class BatchIterator:
         pad_last_batch: bool = True,
         prefetch: int = 2,
         num_workers: int = 0,
+        shard_id: int = 0,
+        num_shards: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -49,24 +51,43 @@ class BatchIterator:
         self.pad_last_batch = pad_last_batch
         self.prefetch = prefetch
         self.num_workers = num_workers
+        # multi-process data sharding: this iterator yields samples
+        # [shard_id::num_shards] (after any shuffle), so the union over
+        # shards is exactly the dataset — required by the VQA protocol's
+        # full-coverage check after gather_predictions_to_host0
+        if not (0 <= shard_id < num_shards):
+            raise ValueError(
+                f"shard_id {shard_id} out of range for {num_shards} shards"
+            )
+        self.shard_id = shard_id
+        self.num_shards = num_shards
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
         """Reshuffles per epoch deterministically (seed + epoch)."""
         self.epoch = epoch
 
-    def __len__(self) -> int:
+    def _num_local(self) -> int:
+        """Number of samples in this process's shard."""
         n = len(self.dataset)
+        if self.num_shards <= 1:
+            return n
+        return len(range(self.shard_id, n, self.num_shards))
+
+    def __len__(self) -> int:
+        n = self._num_local()
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
     def _index_batches(self) -> List[np.ndarray]:
-        n = len(self.dataset)
-        order = np.arange(n)
+        order = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(order)
+        if self.num_shards > 1:
+            order = order[self.shard_id::self.num_shards]
+        n = len(order)
         batches = []
         for start in range(0, n, self.batch_size):
             idx = order[start:start + self.batch_size]
@@ -94,7 +115,7 @@ class BatchIterator:
 
     def __iter__(self) -> Iterator[Any]:
         batches = self._index_batches()
-        n = len(self.dataset)
+        n = self._num_local()
 
         def n_valid(batch_i: int, idx: np.ndarray) -> int:
             remaining = n - batch_i * self.batch_size

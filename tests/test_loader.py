@@ -207,3 +207,58 @@ class TestThreadSafeTokenizerReclaim:
         d = object.__getattribute__(tok, "__dict__")
         total = len(d["_assigned"]) + len(d["_free"])
         assert total <= 8, f"tokenizer copies accumulated: {total}"
+
+
+class TestBatchIteratorSharding:
+    def test_shards_partition_the_dataset(self):
+        from explicit_alignment_for_vqa_tasks_tpu.data.loader import (
+            BatchIterator,
+            ListDataset,
+        )
+
+        items = [{"v": i} for i in range(10)]
+        seen = []
+        for shard in range(3):
+            it = BatchIterator(
+                ListDataset(items), batch_size=2,
+                collate_fn=lambda s: [x["v"] for x in s],
+                shard_id=shard, num_shards=3, pad_last_batch=False,
+            )
+            got = [v for batch in it for v in batch]
+            assert got == list(range(shard, 10, 3))
+            assert len(it) == -(-len(got) // 2)
+            seen.extend(got)
+        assert sorted(seen) == list(range(10))  # exact partition
+
+    def test_padded_last_batch_marks_valid_rows(self):
+        import numpy as np
+
+        from explicit_alignment_for_vqa_tasks_tpu.data.loader import (
+            BatchIterator,
+            ListDataset,
+        )
+
+        items = [{"v": i} for i in range(5)]
+        it = BatchIterator(
+            ListDataset(items), batch_size=2,
+            collate_fn=lambda s: {"v": [x["v"] for x in s]},
+            shard_id=0, num_shards=2,
+        )
+        batches = list(it)
+        # shard 0 = [0, 2, 4] -> two batches, last padded
+        assert [b["v"] for b in batches] == [[0, 2], [4, 4]]
+        assert np.array_equal(batches[-1]["sample_valid"], [True, False])
+
+    def test_invalid_shard_raises(self):
+        import pytest as _pytest
+
+        from explicit_alignment_for_vqa_tasks_tpu.data.loader import (
+            BatchIterator,
+            ListDataset,
+        )
+
+        with _pytest.raises(ValueError):
+            BatchIterator(
+                ListDataset([1]), batch_size=1, collate_fn=list,
+                shard_id=2, num_shards=2,
+            )
