@@ -4,7 +4,12 @@ The framework runs the frozen LM in bfloat16; the reference ran fp32/fp16
 torch. This quantifies where bf16 numerics diverge with depth: one random
 t5-large-shaped model (24+24 layers, d=1024), same params, forward under
 fp32 and bf16 compute, reporting per-encoder-layer relative error plus
-final-logit agreement (top-1 match rate / rank correlation proxy).
+final-logit agreement (top-1 match rate / rank correlation proxy), AND —
+round 3 — drift through the full 20-step autoregressive GREEDY DECODE
+(the strongest no-weights accuracy-parity evidence available: a VQA
+answer changes only if some decode step's argmax flips, so the per-step
+flip rate upper-bounds the answer-level disagreement; fed-back token
+divergence is what a teacher-forced comparison cannot see).
 
 Run:  python -m explicit_alignment_for_vqa_tasks_tpu.tools.bf16_drift_study
 Emits one JSON line; paste the summary into PARITY.md.
@@ -28,6 +33,7 @@ def main() -> None:
         t5_decode,
         t5_encode,
     )
+    from ..ops.decoding import greedy_decode_t5
 
     # t5-large shape (~770M params)
     cfg32 = T5Config(
@@ -76,6 +82,48 @@ def main() -> None:
     rank_of_pick = (
         flat32 > flat32[np.arange(len(flat32)), bf16_pick][:, None]
     ).sum(-1)
+    # ---- drift through the 20-step greedy DECODE (fed-back tokens) ----
+    # Wider prompt batch for flip statistics; per-step agreement is
+    # measured only while BOTH rows are still on the same trajectory
+    # (after the first flip the comparison is between different prompts
+    # to the decoder, so later steps are reported separately).
+    print("greedy decode fp32 vs bf16...", file=sys.stderr)
+    dec_batch, max_new = 16, 20
+    ids_d = jnp.asarray(
+        rng.integers(2, 32000, (dec_batch, length)), jnp.int32
+    )
+    mask_d = jnp.ones((dec_batch, length), jnp.int32)
+
+    def decode(cfg):
+        hidden = t5_encode(params, cfg, input_ids=ids_d,
+                           attention_mask=mask_d)
+        tokens, lps = greedy_decode_t5(params, cfg, hidden, mask_d,
+                                       max_new_tokens=max_new)
+        return np.asarray(tokens), np.asarray(lps, dtype=np.float32)
+
+    tok32, lp32 = decode(cfg32)
+    tok16, lp16 = decode(cfg16)
+    same = tok32 == tok16
+    # first step at which each row's trajectory flips (max_new = never)
+    first_flip = np.where(
+        same.all(axis=1), max_new, (~same).argmax(axis=1)
+    )
+    on_track = (
+        np.arange(max_new)[None, :] <= first_flip[:, None]
+    )  # incl. the flip step itself
+    per_step_flip = []
+    for t in range(max_new):
+        rows = first_flip >= t  # rows still on the fp32 trajectory at t
+        if rows.sum() == 0:
+            per_step_flip.append(None)
+            continue
+        per_step_flip.append(
+            round(float((tok32[rows, t] != tok16[rows, t]).mean()), 4)
+        )
+    full_seq_match = float(same.all(axis=1).mean())
+    # logprob drift while on-trajectory (identical decoder inputs)
+    lp_diff = np.abs(lp32 - lp16)[on_track & same]
+
     out = {
         "metric": "bf16_drift_t5_large_random",
         "per_layer_rel_error": [round(x, 5) for x in layer_rel],
@@ -93,6 +141,15 @@ def main() -> None:
         ), 5),
         "shapes": {"batch": batch, "enc_len": length, "dec_len": dec_len,
                    "layers": 24, "d_model": 1024},
+        "greedy_decode": {
+            "batch": dec_batch, "max_new_tokens": max_new,
+            "full_sequence_match_rate": round(full_seq_match, 4),
+            "per_step_flip_rate_on_trajectory": per_step_flip,
+            "mean_first_flip_step": round(float(first_flip.mean()), 2),
+            "on_trajectory_logprob_mean_abs_diff": round(
+                float(lp_diff.mean()) if lp_diff.size else 0.0, 5
+            ),
+        },
     }
     print(json.dumps(out))
 

@@ -145,6 +145,21 @@ class BaseExecutor(MetricsProcessor):
                                                   model.params["mapper"])
         logger.info("mesh active: %s", dict(self.mesh.shape))
 
+    def _replicate_loaded(self, params: Any) -> Any:
+        """Checkpoint-loaded params must join the active mesh: restored
+        leaves can arrive as single-device-committed jax arrays, which
+        jit refuses to mix with mesh-sharded LM params. Round-trip
+        through host memory and replicate (no-op without a mesh)."""
+        if self.mesh is None:
+            return params
+        import jax
+
+        from ..parallel.mesh import replicate_params
+
+        return replicate_params(
+            self.mesh, jax.tree.map(np.asarray, params)
+        )
+
     def _pipeline_unsupported_reason(self) -> Optional[str]:
         """Return a human-readable reason when this executor's configured
         modes cannot run under the pipelined (pipe > 1) mesh, or None.

@@ -87,7 +87,9 @@ class FewShotVQAExecutor(BaseExecutor):
         return {"mapper": self.model.params["mapper"]}
 
     def load_trainable_state(self, state: Dict[str, Any]) -> None:
-        self.model.params["mapper"] = state["mapper"]
+        self.model.params["mapper"] = self._replicate_loaded(
+            state["mapper"]
+        )
 
     # ------------------------------------------------------------------
     def _generative_step(self, batch: AttrDict, batch_idx: int) -> Dict:

@@ -137,7 +137,9 @@ class VCT0Executor(BaseExecutor):
         }
 
     def load_trainable_state(self, state: Dict[str, Any]) -> None:
-        self.model.params["mapper"] = state["mapper"]
+        self.model.params["mapper"] = self._replicate_loaded(
+            state["mapper"]
+        )
         if "opt_state" in state and state["opt_state"] is not None:
             self.opt_state = jax.tree.unflatten(
                 jax.tree.structure(self.opt_state),

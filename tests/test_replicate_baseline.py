@@ -1,0 +1,151 @@
+"""CI twin of the real-weights replication harness (VERDICT r2 #4).
+
+tools/replicate_baseline.py is the one-command check a user runs once
+T0-3B weights + VQA2 artifacts are mounted (zero-egress blocks them
+here). This test runs the HARNESS itself end-to-end with tiny weights: a
+saved tiny HF T5 checkpoint (+ the committed subword tokenizer fixture
+as its tokenizer), a reference-style torch mapper .ckpt (converted on
+the fly), and synthetic VQA2 artifacts — so the harness is proven to
+work on day 1.
+"""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from test_e2e import write_vqa_fixtures  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOK_FIXTURE = os.path.join(REPO, "tests", "fixtures", "tiny_t5_tokenizer")
+
+PREFIX_SIZE = 16   # matches write_vqa_fixtures' embedding width
+PREFIX_LEN = 2
+D_MODEL = 32
+
+
+@pytest.fixture(scope="module")
+def tiny_weights_dir(tmp_path_factory):
+    """A local 'HF checkpoint dir': tiny T5 model + the committed subword
+    tokenizer (vocab 229, sentinel base 228)."""
+    out = tmp_path_factory.mktemp("tiny_t0")
+    hf_cfg = transformers.T5Config(
+        vocab_size=256,  # >= tokenizer vocab (229)
+        d_model=D_MODEL, d_kv=8, num_heads=4, d_ff=64,
+        num_layers=2, num_decoder_layers=2,
+        feed_forward_proj="gated-gelu", tie_word_embeddings=False,
+        dropout_rate=0.0, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16,
+        decoder_start_token_id=0, pad_token_id=0, eos_token_id=1,
+    )
+    torch.manual_seed(3)
+    model = transformers.T5ForConditionalGeneration(hf_cfg)
+    model.save_pretrained(out)
+    for name in os.listdir(TOK_FIXTURE):
+        shutil.copy(os.path.join(TOK_FIXTURE, name), out / name)
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def tiny_mapper_ckpt(tmp_path_factory):
+    """Reference-style PL checkpoint: model.clip_project.* MLP weights
+    (torch Linear layout, reference: src/models/vct0.py:58-69)."""
+    out = tmp_path_factory.mktemp("ckpt") / "model_00.ckpt"
+    hidden = (D_MODEL * PREFIX_LEN) // 2
+    torch.manual_seed(4)
+    state_dict = {
+        "model.clip_project.model.0.weight":
+            torch.randn(hidden, PREFIX_SIZE),
+        "model.clip_project.model.0.bias": torch.randn(hidden),
+        "model.clip_project.model.2.weight":
+            torch.randn(D_MODEL * PREFIX_LEN, hidden),
+        "model.clip_project.model.2.bias":
+            torch.randn(D_MODEL * PREFIX_LEN),
+    }
+    torch.save({"state_dict": state_dict}, out)
+    return str(out)
+
+
+def _harness_argv(weights, ckpt, fixtures, workdir, shots, output):
+    return [
+        "--t0-weights", weights,
+        "--mapper-ckpt", ckpt,
+        "--questions-train", fixtures["train_q"],
+        "--annotations-train", fixtures["train_a"],
+        "--questions-val", fixtures["val_q"],
+        "--annotations-val", fixtures["val_a"],
+        "--clip-embeddings-train", fixtures["embeddings"],
+        "--clip-embeddings-val", fixtures["embeddings"],
+        "--rices", fixtures["rices"],
+        "--shots", *[str(s) for s in shots],
+        "--templates", "hotpotqa",
+        "--batch-size", "2",
+        "--compute-dtype", "float32", "--params-dtype", "float32",
+        "--fused-attention", "0",
+        "--workdir", str(workdir),
+        "--output", str(output),
+        "--opts",
+        f"model_config.model_args.prefix_size={PREFIX_SIZE}",
+        f"model_config.model_args.prefix_length={PREFIX_LEN}",
+        "data_loader.additional.max_target_length=8",
+    ]
+
+
+@pytest.mark.slow
+def test_harness_end_to_end_tiny_weights(tmp_path, tiny_weights_dir,
+                                         tiny_mapper_ckpt):
+    from explicit_alignment_for_vqa_tasks_tpu.tools.replicate_baseline import (
+        main,
+    )
+
+    os.chdir(REPO)
+    fixtures = write_vqa_fixtures(tmp_path)
+    report_path = tmp_path / "report.json"
+    rc = main(_harness_argv(
+        tiny_weights_dir, tiny_mapper_ckpt, fixtures, tmp_path / "work",
+        shots=[0, 2], output=report_path,
+    ))
+    assert rc == 0  # non-strict: FAIL verdicts don't flip the exit code
+    with open(report_path) as fh:
+        report = json.load(fh)
+    assert not report["random_mapper"]
+    assert len(report["rows"]) == 2
+    for row in report["rows"]:
+        assert row["template"] == "hotpotqa"
+        assert row["questions"] == 4
+        assert 0.0 <= row["accuracy"] <= 100.0
+        assert row["reference"] == {0: 34.49, 2: 39.66}[row["num_shots"]]
+        assert row["verdict"] in ("PASS", "FAIL")
+        assert np.isclose(row["delta"],
+                          round(row["accuracy"] - row["reference"], 2))
+    assert isinstance(report["all_pass"], bool)
+
+
+@pytest.mark.slow
+def test_harness_deterministic(tmp_path, tiny_weights_dir,
+                               tiny_mapper_ckpt):
+    """Two runs on the same artifacts must agree exactly (the parity
+    verdict is meaningless otherwise)."""
+    from explicit_alignment_for_vqa_tasks_tpu.tools.replicate_baseline import (
+        main,
+    )
+
+    os.chdir(REPO)
+    fixtures = write_vqa_fixtures(tmp_path)
+    accs = []
+    for run in range(2):
+        report_path = tmp_path / f"report{run}.json"
+        rc = main(_harness_argv(
+            tiny_weights_dir, tiny_mapper_ckpt, fixtures,
+            tmp_path / f"work{run}", shots=[1], output=report_path,
+        ))
+        assert rc == 0
+        with open(report_path) as fh:
+            accs.append(json.load(fh)["rows"][0]["accuracy"])
+    assert accs[0] == accs[1]
