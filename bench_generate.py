@@ -24,6 +24,9 @@ def main() -> None:
     parser.add_argument("--fused_ffn", action="store_true",
                         help="fused Pallas encoder FFN (raises the "
                         "scoped-VMEM limit; separate compile-cache key)")
+    parser.add_argument("--int8_cross_kv", action="store_true",
+                        help="int8 cross-attention KV cache (halves the "
+                        "decode-time HBM capacity wall; unlocks B>32)")
     args = parser.parse_args()
 
     if args.fused_ffn:
@@ -58,7 +61,8 @@ def main() -> None:
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     lm_cfg = T5Config.t0_3b(dtype=jnp.bfloat16,
                             fused_encoder_attention=True,
-                            fused_encoder_ffn=args.fused_ffn)
+                            fused_encoder_ffn=args.fused_ffn,
+                            int8_cross_kv=args.int8_cross_kv)
     cfg = VCT0Config(
         lm=lm_cfg,
         mapper=MapperConfig(prefix_size=768, d_model=lm_cfg.d_model,
@@ -108,6 +112,7 @@ def main() -> None:
             "batch": B, "prompt_tokens": L, "shots": args.shots,
             "decode_steps": args.decode_steps,
             "spliced_length": L + 9 * P,
+            "int8_cross_kv": bool(args.int8_cross_kv),
         },
     }))
 

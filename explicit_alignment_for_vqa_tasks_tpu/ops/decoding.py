@@ -223,17 +223,13 @@ def beam_search_t5(
     lp_buf = jnp.zeros((batch * K, max_new_tokens), dtype=jnp.float32)
 
     def reorder(tree, flat_beam):
-        def pick(a):
-            if hasattr(a, "ndim") and a.ndim >= 2:
-                return jnp.take(a, flat_beam, axis=1)
-            return a
-
+        # every cache leaf except the scalar step index has the (B*K)
+        # batch at axis 1 — (layers, B*K, ...); this stays correct for
+        # optional leaves like the int8 cross-KV scales
         return {
-            "self_k": jnp.take(tree["self_k"], flat_beam, axis=1),
-            "self_v": jnp.take(tree["self_v"], flat_beam, axis=1),
-            "cross_k": jnp.take(tree["cross_k"], flat_beam, axis=1),
-            "cross_v": jnp.take(tree["cross_v"], flat_beam, axis=1),
-            "index": tree["index"],
+            key: (value if key == "index"
+                  else jnp.take(value, flat_beam, axis=1))
+            for key, value in tree.items()
         }
 
     def step(state, t):

@@ -126,6 +126,10 @@ def build_model_from_config(config: Any) -> Tuple[Any, Any]:
             "fused_encoder_ffn",
             bool(config.get("tpu", {}).get("fused_ffn", False)),
         )
+        overrides.setdefault(
+            "int8_cross_kv",
+            bool(config.get("tpu", {}).get("int8_cross_kv", False)),
+        )
         lm_cfg = base(dtype=compute_dtype, **overrides)
         cfg = VCT0Config.from_model_args(
             model_args, lm_cfg=lm_cfg,
