@@ -58,6 +58,18 @@ class CLIPVisionConfig:
     # XLA otherwise.
     fused_block: bool = False
     fused_block_group: int = 0   # images per program; 0 = auto
+    # long-sequence (seq > 128) fused_block strategy (ViT-L/14@336):
+    #   ""            — split path: XLA LN/QKV/o-proj + attention_core +
+    #                   fused_mlp_block (the round-2 default, 372 img/s)
+    #   "whole"       — the entire block as ONE program (weights +
+    #                   activations ~57 MB VMEM; needs
+    #                   ensure_scoped_vmem_limit(98304))
+    #   "whole_dd"    — "whole" with deferred softmax division
+    #   "split3"      — three programs: fused LN+QKV, attention core +
+    #                   out-proj + residual, fused MLP (x round-trips
+    #                   HBM between programs but never the LN/score/gelu
+    #                   intermediates)
+    fused_block_long: str = ""
     # int8 whole-block kernel (ops/fused_attention_block.fused_vit_block_q8):
     # the six projection matmuls run int8 on the MXU (~1.9x the bf16
     # rate on v5e); per-row dynamic activation quant, per-channel weight
@@ -138,9 +150,57 @@ def _fused_group(batch: int) -> int:
 
 def _encoder_block(layer_p, x, bias, num_heads, eps, use_pallas=False,
                    fast_attention=False, fused_attention=False,
-                   fused_block=False, fused_block_group=0):
+                   fused_block=False, fused_block_group=0,
+                   fused_block_long=""):
     dt = x.dtype
     head_dim = x.shape[-1] // num_heads
+
+    if fused_block and bias is None and x.shape[1] > 128 and \
+            fused_block_long in ("whole", "whole_dd"):
+        # whole block in ONE program at long seq (group=1): ~57 MB VMEM
+        # peak — callers must raise the scoped budget to 96 MB
+        from ..ops.fused_attention_block import fused_vit_block
+
+        return fused_vit_block(
+            x, layer_p["ln1_scale"], layer_p["ln1_bias"],
+            layer_p["q"], layer_p["q_bias"],
+            layer_p["k"], layer_p["k_bias"],
+            layer_p["v"], layer_p["v_bias"],
+            layer_p["o"], layer_p["o_bias"],
+            layer_p["ln2_scale"], layer_p["ln2_bias"],
+            layer_p["mlp_fc"], layer_p["mlp_fc_bias"],
+            layer_p["mlp_proj"], layer_p["mlp_proj_bias"],
+            num_heads=num_heads, group=1, eps=eps,
+            deferred_div=(fused_block_long == "whole_dd"),
+        )
+
+    if fused_block and bias is None and x.shape[1] > 128 and \
+            fused_block_long == "split3":
+        # three fused programs; only the residual stream and q/k/v
+        # round-trip HBM between them
+        from ..ops.fused_attention_block import (
+            attention_core_oproj,
+            fused_ln_qkv,
+            fused_mlp_block,
+        )
+
+        q, k, v = fused_ln_qkv(
+            x, layer_p["ln1_scale"], layer_p["ln1_bias"],
+            layer_p["q"], layer_p["q_bias"],
+            layer_p["k"], layer_p["k_bias"],
+            layer_p["v"], layer_p["v_bias"],
+            scale=head_dim ** -0.5, group=1, eps=eps,
+        )
+        y = attention_core_oproj(
+            x, q, k, v, layer_p["o"], layer_p["o_bias"],
+            num_heads=num_heads, group=1,
+        )
+        return fused_mlp_block(
+            y, layer_p["ln2_scale"], layer_p["ln2_bias"],
+            layer_p["mlp_fc"], layer_p["mlp_fc_bias"],
+            layer_p["mlp_proj"], layer_p["mlp_proj_bias"],
+            group=1, eps=eps,
+        )
 
     if fused_block and bias is None and x.shape[1] > 128:
         # long sequences: scores for a whole image group don't fit VMEM
@@ -477,6 +537,7 @@ def clip_encode_image(
                 fused_attention=cfg.fused_attention,
                 fused_block=cfg.fused_block,
                 fused_block_group=cfg.fused_block_group,
+                fused_block_long=cfg.fused_block_long,
             ), None
 
         x, _ = jax.lax.scan(layer, x, params["blocks"])

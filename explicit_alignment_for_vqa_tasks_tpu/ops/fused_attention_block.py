@@ -224,6 +224,148 @@ def attention_core(
     )(q, k, v)
 
 
+def _make_ln_qkv_kernel(group: int, seq: int, d_model: int, scale: float,
+                        eps: float, out_dtype):
+    """bf16 twin of _make_qkv_q8_kernel: LN + q/k/v projections in one
+    program (long-sequence split path). Emits PRE-SCALED q for
+    attention_core; the LN output and its fp32 intermediates never touch
+    HBM (XLA materializes the LN output once per projection consumer)."""
+    gl = group * seq
+
+    def kernel(x_ref, lns_ref, lnb_ref,
+               wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+               q_ref, k_ref, v_ref):
+        x32 = x_ref[:].reshape(gl, d_model).astype(jnp.float32)
+        h = _ln_f32(x32, lns_ref[:], lnb_ref[:], eps).astype(jnp.bfloat16)
+
+        def proj(w_ref, b_ref):
+            return jax.lax.dot_general(
+                h, w_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b_ref[:].astype(jnp.float32)
+
+        q = proj(wq_ref, bq_ref) * jnp.float32(scale)
+        q_ref[:] = q.reshape(group, seq, d_model).astype(out_dtype)
+        k_ref[:] = proj(wk_ref, bk_ref).reshape(
+            group, seq, d_model).astype(out_dtype)
+        v_ref[:] = proj(wv_ref, bv_ref).reshape(
+            group, seq, d_model).astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "group", "eps", "interpret")
+)
+def fused_ln_qkv(
+    x: jax.Array,            # (B, L, D) — PRE-LN residual stream
+    ln_scale: jax.Array, ln_bias: jax.Array,
+    wq: jax.Array, bq: jax.Array,
+    wk: jax.Array, bk: jax.Array,
+    wv: jax.Array, bv: jax.Array,
+    scale: float,
+    group: int = 1,
+    eps: float = 1e-5,
+    interpret: Optional[bool] = None,
+):
+    """Returns (q*scale, k, v), each (B, L, D) in x.dtype (bf16 weights,
+    ~6 MB VMEM at ViT-L widths — fits the default scoped budget)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, seq, d_model = x.shape
+    assert batch % group == 0, (batch, group)
+    bf = jnp.bfloat16
+    xspec = pl.BlockSpec((group, seq, d_model), lambda i: (i, 0, 0))
+    vec = pl.BlockSpec((d_model,), lambda i: (0,))
+    mat = pl.BlockSpec((d_model, d_model), lambda i: (0, 0))
+    out = jax.ShapeDtypeStruct((batch, seq, d_model), x.dtype)
+    return pl.pallas_call(
+        _make_ln_qkv_kernel(group, seq, d_model, scale, eps, x.dtype),
+        grid=(batch // group,),
+        in_specs=[xspec, vec, vec, mat, vec, mat, vec, mat, vec],
+        out_specs=[xspec, xspec, xspec],
+        out_shape=[out, out, out],
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, wq.astype(bf), bq, wk.astype(bf), bk,
+      wv.astype(bf), bv)
+
+
+def _make_core_oproj_kernel(group: int, num_heads: int, head_dim: int,
+                            out_dtype):
+    """attention core + out-projection + bias + residual in one program:
+    the (L, D) attention output never round-trips HBM between the core
+    and the out-proj (deferred softmax division as in _make_core_kernel)."""
+    d_model = num_heads * head_dim
+
+    def kernel(res_ref, q_ref, k_ref, v_ref, wo_ref, bo_ref, o_ref):
+        wo = wo_ref[:]
+
+        def per_image(g, _):
+            q = q_ref[g]                           # (L, D), pre-scaled
+            k = k_ref[g]
+            v = v_ref[g]
+            attn = jnp.zeros((q.shape[0], d_model), dtype=jnp.float32)
+            for h in range(num_heads):
+                sl = slice(h * head_dim, (h + 1) * head_dim)
+                s = jax.lax.dot_general(
+                    q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m).astype(q.dtype)  # UNNORMALIZED
+                denom = jnp.sum(p.astype(jnp.float32), axis=-1,
+                                keepdims=True)
+                o = jax.lax.dot_general(
+                    p, v[:, sl], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                attn = attn.at[:, sl].set(o / denom)
+            y = jax.lax.dot_general(
+                attn.astype(q.dtype), wo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bo_ref[:].astype(jnp.float32)
+            o_ref[g] = (res_ref[g].astype(jnp.float32) + y).astype(out_dtype)
+            return 0
+
+        jax.lax.fori_loop(0, group, per_image, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "group", "interpret")
+)
+def attention_core_oproj(
+    residual: jax.Array,   # (B, L, D) — the block's residual stream x
+    q: jax.Array,          # (B, L, D) — PRE-SCALED queries
+    k: jax.Array,
+    v: jax.Array,
+    wo: jax.Array, bo: jax.Array,
+    num_heads: int,
+    group: int = 1,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Returns residual + Attn(q,k,v) @ wo + bo in one program."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, seq, d_model = q.shape
+    assert batch % group == 0, (batch, group)
+    head_dim = d_model // num_heads
+    bf = jnp.bfloat16
+    spec = pl.BlockSpec((group, seq, d_model), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        _make_core_oproj_kernel(group, num_heads, head_dim, residual.dtype),
+        grid=(batch // group,),
+        in_specs=[spec, spec, spec, spec,
+                  pl.BlockSpec((d_model, d_model), lambda i: (0, 0)),
+                  pl.BlockSpec((d_model,), lambda i: (0,))],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((batch, seq, d_model),
+                                       residual.dtype),
+        interpret=interpret,
+    )(residual, q, k, v, wo.astype(bf), bo)
+
+
 def _make_mlp_kernel(group: int, seq: int, d_model: int, d_ff: int,
                      eps: float, out_dtype):
     gl = group * seq
@@ -1064,7 +1206,7 @@ t5_attention_core_vjp.defvjp(_t5_attention_core_fwd, _t5_attention_core_bwd)
 
 def _make_vit_block_kernel(group: int, seq: int, num_heads: int,
                            head_dim: int, scale: float, eps: float,
-                           out_dtype):
+                           out_dtype, deferred_div: bool = False):
     """Whole transformer block in one program: LN1 + QKV + block-diagonal
     attention + out-proj + residual + LN2 + MLP(quickGELU) + residual.
 
@@ -1108,14 +1250,29 @@ def _make_vit_block_kernel(group: int, seq: int, num_heads: int,
             ) + blockmask                               # (GL, GL) fp32
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
-            # deferred-div was measured 3.5% SLOWER here (14.3k vs 14.9k
-            # img/s): at GL=200 the extra bf16 cast of p outweighs the
-            # saved division pass, unlike the ViT-L core at L=577
-            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(jnp.bfloat16)
-            outs.append(jax.lax.dot_general(
-                p, v[:, sl].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ))
+            if deferred_div:
+                # rescale the (GL, head_dim) PV output instead of the
+                # (GL, GL) probabilities — wins at long L (ViT-L's 577)
+                denom = jnp.sum(p, axis=-1, keepdims=True)
+                pv = jax.lax.dot_general(
+                    p.astype(jnp.bfloat16),
+                    v[:, sl].astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                outs.append(pv / denom)
+            else:
+                # deferred-div was measured 3.5% SLOWER here (14.3k vs
+                # 14.9k img/s): at GL=200 the extra bf16 cast of p
+                # outweighs the saved division pass, unlike at L=577
+                p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(
+                    jnp.bfloat16
+                )
+                outs.append(jax.lax.dot_general(
+                    p, v[:, sl].astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ))
         attn = jnp.concatenate(outs, axis=-1).astype(jnp.bfloat16)
         y = jax.lax.dot_general(
             attn, wo_ref[:], (((1,), (0,)), ((), ())),
@@ -1139,7 +1296,9 @@ def _make_vit_block_kernel(group: int, seq: int, num_heads: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "group", "eps", "interpret")
+    jax.jit,
+    static_argnames=("num_heads", "group", "eps", "interpret",
+                     "deferred_div"),
 )
 def fused_vit_block(
     x: jax.Array,            # (B, L, D) — PRE-LN residual stream
@@ -1155,11 +1314,17 @@ def fused_vit_block(
     group: int = 4,
     eps: float = 1e-5,
     interpret: Optional[bool] = None,
+    deferred_div: bool = False,
 ) -> jax.Array:
     """Full pre-LN ViT encoder block (CLIP semantics, quickGELU) as one
     Pallas program. Returns x + Attn(LN1(x)) + MLP(LN2(x + Attn(LN1(x)))).
     Weight arguments must be bf16 (or will be cast); requires
-    B % group == 0 and short sequences (whole-group scores fit VMEM)."""
+    B % group == 0 and the whole group's scores + all block weights in
+    VMEM — seq <= 128 at the default 16 MB scoped budget, or long
+    sequences (ViT-L's 577, group=1, ~57 MB peak) under a raised limit
+    (utils/tpu_flags.ensure_scoped_vmem_limit(98304)). ``deferred_div``
+    rescales PV outputs instead of the score matrix (faster at long L,
+    slower at short L)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     batch, seq, d_model = x.shape
@@ -1169,7 +1334,8 @@ def fused_vit_block(
     d_ff = w_fc.shape[1]
     bf = jnp.bfloat16
     kernel = _make_vit_block_kernel(group, seq, num_heads, head_dim,
-                                    scale, eps, x.dtype)
+                                    scale, eps, x.dtype,
+                                    deferred_div=deferred_div)
     xspec = pl.BlockSpec((group, seq, d_model), lambda i: (i, 0, 0))
     mat = pl.BlockSpec((d_model, d_model), lambda i: (0, 0))
     vec = pl.BlockSpec((d_model,), lambda i: (0,))
