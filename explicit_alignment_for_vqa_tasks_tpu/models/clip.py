@@ -58,17 +58,31 @@ class CLIPVisionConfig:
     # XLA otherwise.
     fused_block: bool = False
     fused_block_group: int = 0   # images per program; 0 = auto
-    # long-sequence (seq > 128) fused_block strategy (ViT-L/14@336):
-    #   ""            — split path: XLA LN/QKV/o-proj + attention_core +
-    #                   fused_mlp_block (the round-2 default, 372 img/s)
-    #   "whole"       — the entire block as ONE program (weights +
-    #                   activations ~57 MB VMEM; needs
-    #                   ensure_scoped_vmem_limit(98304))
-    #   "whole_dd"    — "whole" with deferred softmax division
-    #   "split3"      — three programs: fused LN+QKV, attention core +
+    # long-sequence (seq > 128) fused_block strategy (ViT-L/14@336).
+    # All variants were measured head-to-head on the chip
+    # (tools/vit_l_study.py, results in PARITY.md "ViT-L/14@336
+    # accounting (round 3)"):
+    #   "" / "split3" — the DEFAULT and measured best (385.6 img/s):
+    #                   three programs — fused LN+QKV, attention core +
     #                   out-proj + residual, fused MLP (x round-trips
     #                   HBM between programs but never the LN/score/gelu
     #                   intermediates)
+    #   "split"       — round-2 split path: XLA LN/QKV/o-proj +
+    #                   attention_core + fused_mlp_block (371.4 img/s)
+    #   "whole"       — the entire block as ONE program (weights +
+    #                   activations ~57 MB VMEM; needs
+    #                   ensure_scoped_vmem_limit(98304); 348.5 img/s —
+    #                   VMEM pressure serializes the scheduler)
+    #   "whole_dd"    — "whole" with deferred softmax division (357.0)
+    #   "split_c2"    — "split" with the MLP kernel row-chunked in 2
+    #                   (measured NEUTRAL: 372.5 — Mosaic already
+    #                   overlaps the VPU chain with the matmuls)
+    #   "split_fe"    — "split" with bf16-exp attention core (~1/256
+    #                   relative error on attention probabilities;
+    #                   measured NEUTRAL: 370.4 — exp is not the
+    #                   core's bottleneck, the half-rate head_dim-64
+    #                   MXU contractions are)
+    #   "split_c2fe"  — both of the above (371.6)
     fused_block_long: str = ""
     # int8 whole-block kernel (ops/fused_attention_block.fused_vit_block_q8):
     # the six projection matmuls run int8 on the MXU (~1.9x the bf16
@@ -175,7 +189,7 @@ def _encoder_block(layer_p, x, bias, num_heads, eps, use_pallas=False,
         )
 
     if fused_block and bias is None and x.shape[1] > 128 and \
-            fused_block_long == "split3":
+            fused_block_long in ("", "split3"):
         # three fused programs; only the residual stream and q/k/v
         # round-trip HBM between them
         from ..ops.fused_attention_block import (
@@ -208,8 +222,14 @@ def _encoder_block(layer_p, x, bias, num_heads, eps, use_pallas=False,
         # core (projections in XLA) + the fused MLP program. The MLP
         # kernel needs a raised scoped-VMEM limit at production widths
         # (utils/tpu_flags.ensure_scoped_vmem_limit).
+        # "split_c2"/"split_fe"/"split_c2fe" select the measured round-3
+        # sub-variants: row-chunked MLP (VPU/MXU overlap) and/or bf16-exp
+        # attention core.
         from ..ops.fused_attention_block import attention_core, fused_mlp_block
 
+        mlp_chunks = 2 if fused_block_long in ("split_c2", "split_c2fe") \
+            else 1
+        fast_exp = fused_block_long in ("split_fe", "split_c2fe")
         ln1 = _layer_norm(x, layer_p["ln1_scale"], layer_p["ln1_bias"], eps)
         q = jnp.einsum("bld,de->ble", ln1, layer_p["q"].astype(dt),
                        preferred_element_type=jnp.float32).astype(dt)
@@ -221,7 +241,7 @@ def _encoder_block(layer_p, x, bias, num_heads, eps, use_pallas=False,
                        preferred_element_type=jnp.float32).astype(dt)
         v = v + layer_p["v_bias"].astype(dt)
         attn = attention_core(q * (head_dim ** -0.5), k, v, num_heads,
-                              group=1)
+                              group=1, fast_exp=fast_exp)
         attn = jnp.einsum("ble,ed->bld", attn, layer_p["o"].astype(dt),
                           preferred_element_type=jnp.float32).astype(dt)
         x = x + attn + layer_p["o_bias"].astype(dt)
@@ -229,7 +249,7 @@ def _encoder_block(layer_p, x, bias, num_heads, eps, use_pallas=False,
             x, layer_p["ln2_scale"], layer_p["ln2_bias"],
             layer_p["mlp_fc"], layer_p["mlp_fc_bias"],
             layer_p["mlp_proj"], layer_p["mlp_proj_bias"],
-            group=1, eps=eps,
+            group=1, eps=eps, chunks=mlp_chunks,
         )
 
     if fused_block and bias is None and x.shape[1] <= 128:

@@ -158,14 +158,17 @@ def _make_bd_kernel(group: int, seq: int, num_heads: int, head_dim: int,
     return kernel
 
 
-def _make_core_kernel(group: int, num_heads: int, head_dim: int, out_dtype):
+def _make_core_kernel(group: int, num_heads: int, head_dim: int, out_dtype,
+                      fast_exp: bool = False):
     # matmul OPERANDS stay in the input dtype (bf16 inputs -> full-rate
     # MXU; fp32 inputs keep exact legacy numerics); accumulation and the
     # softmax are always fp32 via preferred_element_type. The softmax
     # division is DEFERRED past the PV matmul — rescaling the (L, dh)
     # output instead of the (L, L) probability matrix drops a full
     # score-sized VPU pass per head (measured 136 -> 121 ms on the
-    # 24-layer ViT-L attention stack).
+    # 24-layer ViT-L attention stack). fast_exp computes the exp over the
+    # (L, L) score matrix in bf16 instead of fp32 (probabilities are cast
+    # to bf16 for the PV matmul anyway; ~1/256 relative error on p).
     def kernel(q_ref, k_ref, v_ref, o_ref):
         def per_image(g, _):
             q = q_ref[g]                           # (L, D), pre-scaled
@@ -178,7 +181,11 @@ def _make_core_kernel(group: int, num_heads: int, head_dim: int, out_dtype):
                     preferred_element_type=jnp.float32,
                 )
                 m = jnp.max(s, axis=-1, keepdims=True)
-                p = jnp.exp(s - m).astype(q.dtype)  # UNNORMALIZED
+                if fast_exp:
+                    p = jnp.exp((s - m).astype(jnp.bfloat16))
+                    p = p.astype(q.dtype)           # UNNORMALIZED
+                else:
+                    p = jnp.exp(s - m).astype(q.dtype)  # UNNORMALIZED
                 denom = jnp.sum(p.astype(jnp.float32), axis=-1,
                                 keepdims=True)
                 o = jax.lax.dot_general(
@@ -194,7 +201,7 @@ def _make_core_kernel(group: int, num_heads: int, head_dim: int, out_dtype):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "group", "interpret")
+    jax.jit, static_argnames=("num_heads", "group", "fast_exp", "interpret")
 )
 def attention_core(
     q: jax.Array,   # (B, L, D) — PRE-SCALED queries, heads on lanes
@@ -202,6 +209,7 @@ def attention_core(
     v: jax.Array,
     num_heads: int,
     group: int = 1,
+    fast_exp: bool = False,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Attention only (projections stay in XLA), native (B, L, D) layout —
@@ -215,7 +223,7 @@ def attention_core(
     head_dim = d_model // num_heads
     spec = pl.BlockSpec((group, seq, d_model), lambda i: (i, 0, 0))
     return pl.pallas_call(
-        _make_core_kernel(group, num_heads, head_dim, q.dtype),
+        _make_core_kernel(group, num_heads, head_dim, q.dtype, fast_exp),
         grid=(batch // group,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
@@ -304,7 +312,9 @@ def _make_core_oproj_kernel(group: int, num_heads: int, head_dim: int,
             q = q_ref[g]                           # (L, D), pre-scaled
             k = k_ref[g]
             v = v_ref[g]
-            attn = jnp.zeros((q.shape[0], d_model), dtype=jnp.float32)
+            # Stage per-head outputs through the output ref (VMEM ref
+            # stores take static slices; a traced-array .at[].set would
+            # lower to `scatter`, which Mosaic cannot lower).
             for h in range(num_heads):
                 sl = slice(h * head_dim, (h + 1) * head_dim)
                 s = jax.lax.dot_general(
@@ -319,9 +329,9 @@ def _make_core_oproj_kernel(group: int, num_heads: int, head_dim: int,
                     p, v[:, sl], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                attn = attn.at[:, sl].set(o / denom)
+                o_ref[g, :, sl] = (o / denom).astype(out_dtype)
             y = jax.lax.dot_general(
-                attn.astype(q.dtype), wo, (((1,), (0,)), ((), ())),
+                o_ref[g].astype(q.dtype), wo, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + bo_ref[:].astype(jnp.float32)
             o_ref[g] = (res_ref[g].astype(jnp.float32) + y).astype(out_dtype)
@@ -367,28 +377,45 @@ def attention_core_oproj(
 
 
 def _make_mlp_kernel(group: int, seq: int, d_model: int, d_ff: int,
-                     eps: float, out_dtype):
+                     eps: float, out_dtype, chunks: int = 1):
     gl = group * seq
+    # chunks > 1 splits the row dimension into independent sub-blocks
+    # (Python-unrolled, 8-aligned boundaries) so the Mosaic scheduler can
+    # overlap chunk i's LN/GELU VPU chain with chunk i±1's MXU matmuls.
+    step = -(-gl // chunks)            # ceil
+    step = -(-step // 8) * 8           # round up to sublane multiple
+    bounds = [(lo, min(lo + step, gl)) for lo in range(0, gl, step)]
 
     def kernel(x_ref, lns_ref, lnb_ref, wfc_ref, bfc_ref,
                wproj_ref, bproj_ref, o_ref):
         x32 = x_ref[:].reshape(gl, d_model).astype(jnp.float32)
-        h = _ln_f32(x32, lns_ref[:], lnb_ref[:], eps).astype(jnp.bfloat16)
-        hid = jax.lax.dot_general(
-            h, wfc_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bfc_ref[:].astype(jnp.float32)
-        hid = (hid * jax.nn.sigmoid(1.702 * hid)).astype(jnp.bfloat16)
-        y = jax.lax.dot_general(
-            hid, wproj_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bproj_ref[:].astype(jnp.float32)
-        o_ref[:] = (x32 + y).reshape(group, seq, d_model).astype(out_dtype)
+        lns, lnb = lns_ref[:], lnb_ref[:]
+        wfc, wproj = wfc_ref[:], wproj_ref[:]
+        bfc = bfc_ref[:].astype(jnp.float32)
+        bproj = bproj_ref[:].astype(jnp.float32)
+        outs = []
+        for lo, hi in bounds:
+            xc = x32[lo:hi]
+            h = _ln_f32(xc, lns, lnb, eps).astype(jnp.bfloat16)
+            hid = jax.lax.dot_general(
+                h, wfc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bfc
+            hid = (hid * jax.nn.sigmoid(1.702 * hid)).astype(jnp.bfloat16)
+            y = jax.lax.dot_general(
+                hid, wproj, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bproj
+            outs.append((xc + y).astype(out_dtype))
+        full = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        o_ref[:] = full.reshape(group, seq, d_model)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("group", "eps", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("group", "eps", "chunks", "interpret")
+)
 def fused_mlp_block(
     x: jax.Array,            # (B, L, D) — PRE-LN residual stream
     ln_scale: jax.Array, ln_bias: jax.Array,
@@ -396,6 +423,7 @@ def fused_mlp_block(
     w_proj: jax.Array, b_proj: jax.Array,
     group: int = 1,
     eps: float = 1e-5,
+    chunks: int = 1,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """x + MLP(LN(x)) with quickGELU as one Pallas program: the gelu
@@ -415,7 +443,7 @@ def fused_mlp_block(
     xspec = pl.BlockSpec((group, seq, d_model), lambda i: (i, 0, 0))
     vec = pl.BlockSpec((d_model,), lambda i: (0,))
     return pl.pallas_call(
-        _make_mlp_kernel(group, seq, d_model, d_ff, eps, x.dtype),
+        _make_mlp_kernel(group, seq, d_model, d_ff, eps, x.dtype, chunks),
         grid=(batch // group,),
         in_specs=[
             xspec, vec, vec,

@@ -89,10 +89,14 @@ def main() -> None:
     variants = {
         "xla": dataclasses.replace(base, fused_attention=False,
                                    fused_block=False),
-        "split_r2": base,
+        "split_r2": dataclasses.replace(base, fused_block_long="split"),
         "whole": dataclasses.replace(base, fused_block_long="whole"),
         "whole_dd": dataclasses.replace(base, fused_block_long="whole_dd"),
         "split3": dataclasses.replace(base, fused_block_long="split3"),
+        "split_c2": dataclasses.replace(base, fused_block_long="split_c2"),
+        "split_fe": dataclasses.replace(base, fused_block_long="split_fe"),
+        "split_c2fe": dataclasses.replace(base,
+                                          fused_block_long="split_c2fe"),
     }
     results = {}
     for name, cfg in variants.items():
@@ -188,12 +192,30 @@ def main() -> None:
             group=1, eps=eps,
         )
 
+    def mlp_chunked(n):
+        def fn(x, lp):
+            return fused_mlp_block(
+                x, lp["ln2_scale"], lp["ln2_bias"], lp["mlp_fc"],
+                lp["mlp_fc_bias"], lp["mlp_proj"], lp["mlp_proj_bias"],
+                group=1, eps=eps, chunks=n,
+            )
+
+        return fn
+
+    def core_fast_exp(x, lp):
+        attn = attention_core(x * (head_dim ** -0.5), x, x, H, group=1,
+                              fast_exp=True)
+        return attn.astype(dt_bf)
+
     towers = {
         "attn_half_split_r2": attn_half_split,
         "attn_half_split3": attn_half_split3,
         "qkv_projections_xla": qkv_only,
         "attention_core_only": core_only,
+        "attention_core_fast_exp": core_fast_exp,
         "mlp_fused_only": mlp_only,
+        "mlp_fused_chunks2": mlp_chunked(2),
+        "mlp_fused_chunks4": mlp_chunked(4),
     }
     accounting = {}
     for name, fn in towers.items():

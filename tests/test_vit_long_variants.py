@@ -35,7 +35,9 @@ def setup():
     return cfg, params, images, ref
 
 
-@pytest.mark.parametrize("variant", ["", "whole", "whole_dd", "split3"])
+@pytest.mark.parametrize("variant", ["", "split", "whole", "whole_dd",
+                                     "split3", "split_c2", "split_fe",
+                                     "split_c2fe"])
 def test_long_variant_matches_xla(setup, variant):
     cfg, params, images, ref = setup
     v_cfg = dataclasses.replace(cfg, fused_block=True,
