@@ -30,6 +30,7 @@ from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (  # noqa: E402
     T5Config,
     embed_tokens,
     init_t5_params,
+    quantize_encoder_ffn,
     t5_encode,
 )
 from explicit_alignment_for_vqa_tasks_tpu.utils.compilation_cache import (  # noqa: E402
@@ -51,7 +52,9 @@ def main() -> None:
         lambda k: jax.random.randint(k, (B, L), 0, 30000)
     )(jax.random.PRNGKey(1))
 
-    def bench(cfg, name):
+    def bench(cfg, name, bench_params=None):
+        bench_params = bench_params or enc_params
+
         @jax.jit
         def run(p, ids):
             emb = embed_tokens(p, cfg, ids)
@@ -64,11 +67,11 @@ def main() -> None:
             t, _ = jax.lax.scan(body, jnp.float32(0), None, length=REPS)
             return t
 
-        float(run(enc_params, ids))
+        float(run(bench_params, ids))
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            float(run(enc_params, ids))
+            float(run(bench_params, ids))
             best = min(best, (time.perf_counter() - t0) / REPS)
         d, ff = cfg.d_model, cfg.d_ff
         flops = cfg.num_encoder_layers * B * L * (
@@ -83,6 +86,10 @@ def main() -> None:
           "fused attn + fused ffn")
     bench(dataclasses.replace(base_cfg, fused_encoder_attention=False),
           "XLA attn")
+    # round-3 opt-in bulk-eval mode: all FFN matmuls int8 on the MXU
+    q_params = quantize_encoder_ffn(enc_params)
+    bench(dataclasses.replace(base_cfg, int8_encoder_ffn=True),
+          "fused attn + int8 ffn (opt-in)", bench_params=q_params)
 
 
 if __name__ == "__main__":

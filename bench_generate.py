@@ -27,9 +27,13 @@ def main() -> None:
     parser.add_argument("--int8_cross_kv", action="store_true",
                         help="int8 cross-attention KV cache (halves the "
                         "decode-time HBM capacity wall; unlocks B>32)")
+    parser.add_argument("--int8_ffn", action="store_true",
+                        help="int8 encoder FFN on the MXU (opt-in bulk-"
+                        "eval mode, 1.27x the encoder; raises the "
+                        "scoped-VMEM limit)")
     args = parser.parse_args()
 
-    if args.fused_ffn:
+    if args.fused_ffn or args.int8_ffn:
         from explicit_alignment_for_vqa_tasks_tpu.utils.tpu_flags import (
             ensure_scoped_vmem_limit,
         )
@@ -62,7 +66,8 @@ def main() -> None:
     lm_cfg = T5Config.t0_3b(dtype=jnp.bfloat16,
                             fused_encoder_attention=True,
                             fused_encoder_ffn=args.fused_ffn,
-                            int8_cross_kv=args.int8_cross_kv)
+                            int8_cross_kv=args.int8_cross_kv,
+                            int8_encoder_ffn=args.int8_ffn)
     cfg = VCT0Config(
         lm=lm_cfg,
         mapper=MapperConfig(prefix_size=768, d_model=lm_cfg.d_model,
@@ -70,6 +75,12 @@ def main() -> None:
     )
     params = init_vct0_params(jax.random.PRNGKey(0), cfg,
                               param_dtype=jnp.bfloat16)
+    if args.int8_ffn:
+        from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (
+            quantize_encoder_ffn,
+        )
+
+        params["lm"] = quantize_encoder_ffn(params["lm"])
     model = VCT0Model(cfg, params)
 
     B, L, P = args.batch, args.seq, args.shots + 1
@@ -113,6 +124,7 @@ def main() -> None:
             "decode_steps": args.decode_steps,
             "spliced_length": L + 9 * P,
             "int8_cross_kv": bool(args.int8_cross_kv),
+            "int8_encoder_ffn": bool(args.int8_ffn),
         },
     }))
 

@@ -103,6 +103,12 @@ local caption_features = {
     "remat": false,
     // fused Pallas encoder attention (1.32x T0-3B encoder at 557 tokens)
     "fused_attention": true,
+    // opt-in throughput levers (off by default — int8-level drift is
+    // not bf16 parity; see tests/test_int8_cross_kv.py and
+    // tests/test_int8_encoder_ffn.py for the pinned bounds):
+    //   "int8_cross_kv": true      halves decode KV bytes, unlocks B=64
+    //   "int8_encoder_ffn": true   int8 FFN on the MXU, 1.27x encoder
+    //                              (53.4 vs 44.8 prompts/s with both)
   },
   "cache": {
     "default_folder": default_cache_folder,

@@ -82,6 +82,16 @@ class T5Config:
     # backward). Encoder-only; the decoder's one-token steps don't
     # benefit.
     fused_encoder_ffn: bool = False
+    # int8 encoder FFN (ops/fused_attention_block.py::fused_t5_ffn_q8):
+    # all FFN matmuls int8 on the MXU (measured 1.92x the bf16 rate).
+    # OPT-IN bulk-eval throughput mode for the frozen LM — int8-level
+    # logit drift is NOT bf16 parity (bounds pinned in
+    # tests/test_int8_encoder_ffn.py); training and parity-sensitive
+    # paths keep bf16. Requires params["encoder"]["ffn_q8"] from
+    # quantize_encoder_ffn(); inference-only (no VJP). Same raised
+    # scoped-VMEM requirement as fused_encoder_ffn (weights resident,
+    # half the bytes).
+    int8_encoder_ffn: bool = False
 
     @classmethod
     def t0_3b(cls, **kw) -> "T5Config":
@@ -282,7 +292,22 @@ def _attn_block(
 
 
 def _encoder_ffn(layer_p: Params, y: jax.Array, cfg: T5Config) -> jax.Array:
-    """RMS-norm + FFN + residual; Pallas-fused when cfg.fused_encoder_ffn."""
+    """RMS-norm + FFN + residual; Pallas-fused when cfg.fused_encoder_ffn;
+    int8 (opt-in bulk-eval mode) when cfg.int8_encoder_ffn and the layer
+    carries "ffn_q8" (quantize_encoder_ffn)."""
+    if cfg.int8_encoder_ffn and "ffn_q8" in layer_p:
+        from ..ops.fused_attention_block import fused_t5_ffn_q8
+
+        q8 = layer_p["ffn_q8"]
+        gated = cfg.is_gated_act
+        return fused_t5_ffn_q8(
+            y, layer_p["ln1"],
+            q8["wi_0"], q8["wi_0_s"],
+            q8["wi_1"] if gated else None,
+            q8["wi_1_s"] if gated else None,
+            q8["wo"], q8["wo_s"],
+            eps=cfg.layer_norm_epsilon,
+        )
     if cfg.fused_encoder_ffn:
         from ..ops.fused_attention_block import fused_t5_ffn_vjp
 
@@ -309,6 +334,40 @@ def _ffn_block(layer_p: Params, x: jax.Array, cfg: T5Config) -> jax.Array:
         hidden = hidden * linear
     return jnp.einsum("blf,fd->bld", hidden, wo,
                       preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def quantize_encoder_ffn(params: Params) -> Params:
+    """Host-side, once: per-output-channel symmetric int8 quantization of
+    the scan-stacked encoder FFN weights for cfg.int8_encoder_ffn.
+
+    Returns a NEW params dict whose ["encoder"]["ffn_q8"] holds int8
+    weights stacked over layers — (L, D, F) wi_0/wi_1 with (L, F)
+    scales, (L, F, D) wo with (L, D) scales — sliced per layer by the
+    encoder scan alongside the bf16 weights they replace. The frozen LM
+    is quantized exactly once per process (the reference re-reads fp16
+    weights every run: /root/reference/src/models/vct0.py:313)."""
+    import numpy as np
+
+    enc = params["encoder"]
+    ffn = enc["ffn"]
+
+    def quant_stacked(w):
+        w = np.asarray(w, np.float32)                    # (L, Din, Dout)
+        scale = np.maximum(np.abs(w).max(axis=1), 1e-8) / 127.0  # (L, Dout)
+        q = np.clip(np.round(w / scale[:, None, :]), -127, 127)
+        return q.astype(np.int8), scale.astype(np.float32)
+
+    q8 = {}
+    for name in ("wi_0", "wi_1", "wo"):
+        if name not in ffn:
+            continue
+        q, s = quant_stacked(ffn[name])
+        q8[name] = jnp.asarray(q)
+        q8[name + "_s"] = jnp.asarray(s)
+    out = dict(params)
+    out["encoder"] = dict(enc)
+    out["encoder"]["ffn_q8"] = q8
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -389,6 +448,16 @@ def t5_encode(
         "self_attn": enc["self_attn"], "ffn": enc["ffn"],
         "ln0": enc["ln0"], "ln1": enc["ln1"],
     }
+    if cfg.int8_encoder_ffn:
+        if "ffn_q8" not in enc:
+            raise ValueError(
+                "cfg.int8_encoder_ffn requires params['encoder']['ffn_q8'] "
+                "— call quantize_encoder_ffn(params) once after loading "
+                "the frozen LM weights"
+            )
+        # the unused bf16 "ffn" xs slices are dead code under the q8
+        # dispatch and XLA eliminates their HBM reads
+        stacked["ffn_q8"] = enc["ffn_q8"]
     x, per_layer = jax.lax.scan(layer, x, stacked)
     final = rms_norm(x, enc["final_ln"], cfg.layer_norm_epsilon)
     if collect_hiddens:

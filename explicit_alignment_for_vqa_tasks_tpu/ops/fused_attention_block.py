@@ -1433,3 +1433,104 @@ def fused_attention_block(
         out_shape=jax.ShapeDtypeStruct((batch, seq, d_model), x.dtype),
         interpret=interpret,
     )(x, wq, bq, wk, bk, wv, bv, wo, bo)
+
+
+# ---------------------------------------------------------------------------
+# int8 T5 encoder FFN (round 3): the opt-in bulk-eval throughput lever
+# ---------------------------------------------------------------------------
+
+def _make_t5_ffn_q8_kernel(group: int, seq: int, d_model: int, d_ff: int,
+                           gated: bool, eps: float, out_dtype):
+    """int8 twin of _make_t5_ffn_kernel: all two/three FFN matmuls run
+    int8 on the MXU (measured 366 TOPS = 1.92x the bf16 rate on v5e).
+    The per-row activation-quant passes stay in VMEM — in XLA they
+    round-trip the (B, L, F) hidden through HBM and the win vanishes
+    (measured neutral at ViT-L MLP shapes, PARITY.md). Weights are
+    pre-quantized per output channel (host-side, once — the LM is
+    frozen); int8 also HALVES the VMEM-resident weight footprint vs
+    the bf16 fused kernel (~63 -> ~31 MB at T0-3B widths).
+
+    Inference-only (no VJP): the eval path's frozen LM never needs
+    gradients; training keeps the bf16 paths."""
+    gl = group * seq
+
+    def kernel(*refs):
+        if gated:
+            (x_ref, lnw_ref, w0_ref, s0_ref, w1_ref, s1_ref,
+             wo_ref, so_ref, o_ref) = refs
+        else:
+            x_ref, lnw_ref, w0_ref, s0_ref, wo_ref, so_ref, o_ref = refs
+            w1_ref = s1_ref = None
+        x32 = x_ref[:].reshape(gl, d_model).astype(jnp.float32)
+        # T5 RMS norm (no mean subtraction, scale only), fp32
+        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        h = x32 * jax.lax.rsqrt(var + eps) * lnw_ref[:].astype(jnp.float32)
+        hq, hs = _row_quant_i8(h)              # one quant, used by wi_0+wi_1
+        acc = jax.lax.dot_general(
+            hq, w0_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        hid = acc.astype(jnp.float32) * hs * s0_ref[:].astype(jnp.float32)
+        hid = _tanh_gelu(hid)                  # HF gelu_new, fp32
+        if gated:
+            acc1 = jax.lax.dot_general(
+                hq, w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            hid = hid * (acc1.astype(jnp.float32) * hs
+                         * s1_ref[:].astype(jnp.float32))
+        gq, gs = _row_quant_i8(hid)
+        acc2 = jax.lax.dot_general(
+            gq, wo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc2.astype(jnp.float32) * gs * so_ref[:].astype(jnp.float32)
+        o_ref[:] = (x32 + y).reshape(group, seq, d_model).astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("group", "eps", "interpret"))
+def fused_t5_ffn_q8(
+    x: jax.Array,                # (B, L, D) — PRE-NORM residual stream
+    ln_weight: jax.Array,        # (D,) RMS-norm scale
+    wi_0: jax.Array, s_0: jax.Array,            # int8 (D, F) + f32 (F,)
+    wi_1: Optional[jax.Array], s_1: Optional[jax.Array],  # gate or None
+    wo: jax.Array, s_o: jax.Array,              # int8 (F, D) + f32 (D,)
+    group: int = 1,
+    eps: float = 1e-6,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """x + FFN(RMSNorm(x)) with every matmul int8 on the MXU — the
+    opt-in throughput mode for the FROZEN T0-3B encoder during bulk
+    eval (the FFN is ~60% of encoder FLOPs; reference frozen-LM eval:
+    /root/reference/src/models/vct0.py:396-491). Same scoped-VMEM note
+    as fused_t5_ffn; int8 halves the resident-weight footprint."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, seq, d_model = x.shape
+    assert batch % group == 0, (batch, group)
+    d_ff = wi_0.shape[1]
+    gated = wi_1 is not None
+    xspec = pl.BlockSpec((group, seq, d_model), lambda i: (i, 0, 0))
+    dvec = pl.BlockSpec((d_model,), lambda i: (0,))
+    fvec = pl.BlockSpec((d_ff,), lambda i: (0,))
+    in_specs = [
+        xspec, dvec,
+        pl.BlockSpec((d_model, d_ff), lambda i: (0, 0)), fvec,
+    ]
+    args = [x, ln_weight, wi_0, s_0]
+    if gated:
+        in_specs += [pl.BlockSpec((d_model, d_ff), lambda i: (0, 0)), fvec]
+        args += [wi_1, s_1]
+    in_specs += [pl.BlockSpec((d_ff, d_model), lambda i: (0, 0)), dvec]
+    args += [wo, s_o]
+    return pl.pallas_call(
+        _make_t5_ffn_q8_kernel(group, seq, d_model, d_ff, gated, eps,
+                               x.dtype),
+        grid=(batch // group,),
+        in_specs=in_specs,
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((batch, seq, d_model), x.dtype),
+        interpret=interpret,
+    )(*args)

@@ -130,6 +130,10 @@ def build_model_from_config(config: Any) -> Tuple[Any, Any]:
             "int8_cross_kv",
             bool(config.get("tpu", {}).get("int8_cross_kv", False)),
         )
+        overrides.setdefault(
+            "int8_encoder_ffn",
+            bool(config.get("tpu", {}).get("int8_encoder_ffn", False)),
+        )
         lm_cfg = base(dtype=compute_dtype, **overrides)
         cfg = VCT0Config.from_model_args(
             model_args, lm_cfg=lm_cfg,
@@ -143,6 +147,12 @@ def build_model_from_config(config: Any) -> Tuple[Any, Any]:
         params = init_vct0_params(
             key, cfg, lm_params=lm_params, param_dtype=param_dtype
         )
+        if lm_cfg.int8_encoder_ffn:
+            # quantize the frozen LM's FFN weights once at build time
+            # (opt-in bulk-eval mode; tpu.int8_encoder_ffn)
+            from ..models.t5 import quantize_encoder_ffn
+
+            params["lm"] = quantize_encoder_ffn(params["lm"])
         return VCT0Model(cfg, params), "vct0"
 
     if model_class in ("ClipCaptionPrefix", "ClipCaptionModel"):

@@ -213,6 +213,22 @@ class TestFewShotVQAEndToEnd:
             predictions = pickle.load(fh)
         assert len(predictions) == 4  # every val question exactly once
 
+    def test_int8_encoder_ffn_eval(self, tmp_path):
+        """tpu.int8_encoder_ffn runs the flagship eval end-to-end: the
+        factory quantizes the frozen LM's FFN once at build time and the
+        executor's generate path dispatches to fused_t5_ffn_q8 (opt-in
+        bulk-eval mode, round 3)."""
+        fixtures = write_vqa_fixtures(tmp_path)
+        config = make_test_config(tmp_path, fixtures)
+        config.tpu.int8_encoder_ffn = True
+        executor = build_executor(config)
+        lm_params = executor.model.params["lm"]
+        assert "ffn_q8" in lm_params["encoder"]
+        assert executor.model.cfg.lm.int8_encoder_ffn
+        metrics = executor.test()
+        assert "test_evaluation/accuracy_overall" in metrics
+        assert 0.0 <= metrics["test_evaluation/accuracy_overall"] <= 100.0
+
     def test_zero_shot(self, tmp_path):
         fixtures = write_vqa_fixtures(tmp_path)
         config = make_test_config(tmp_path, fixtures)

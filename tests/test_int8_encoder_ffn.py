@@ -1,0 +1,143 @@
+"""int8 encoder FFN (cfg.int8_encoder_ffn) — the opt-in bulk-eval
+throughput mode for the frozen LM (round 3).
+
+Pins (1) kernel-level parity of fused_t5_ffn_q8 against the fp32 FFN
+math given int8-quantized weights, (2) model-level drift bounds of the
+int8 encoder vs the exact path at depth, (3) the missing-ffn_q8 guard,
+and (4) that quantize_encoder_ffn leaves the original params untouched.
+
+Reference surface: the frozen T0-3B encoder inside eval generate
+(/root/reference/src/models/vct0.py:396-491). int8 drift is NOT bf16
+parity — the mode is opt-in and documented as such in T5Config.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (
+    T5Config,
+    init_t5_params,
+    quantize_encoder_ffn,
+    t5_encode,
+)
+from explicit_alignment_for_vqa_tasks_tpu.ops.fused_attention_block import (
+    fused_t5_ffn_q8,
+    quantize_weight_i8,
+)
+
+
+def _cos(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+class TestKernel:
+    @pytest.mark.parametrize("gated", [True, False])
+    def test_matches_fp32_ffn_with_quantized_weights(self, gated):
+        d, f, b, l, eps = 64, 128, 2, 16, 1e-6
+        ks = iter(jax.random.split(jax.random.PRNGKey(0), 8))
+        x = jax.random.normal(next(ks), (b, l, d), dtype=jnp.float32)
+        lnw = 1.0 + 0.1 * jax.random.normal(next(ks), (d,))
+        wi_0 = jax.random.normal(next(ks), (d, f)) * d ** -0.5
+        wi_1 = jax.random.normal(next(ks), (d, f)) * d ** -0.5
+        wo = jax.random.normal(next(ks), (f, d)) * f ** -0.5
+
+        q0, s0 = quantize_weight_i8(wi_0)
+        q1, s1 = quantize_weight_i8(wi_1)
+        qo, so = quantize_weight_i8(wo)
+        out = fused_t5_ffn_q8(
+            x, lnw, jnp.asarray(q0), jnp.asarray(s0),
+            jnp.asarray(q1) if gated else None,
+            jnp.asarray(s1) if gated else None,
+            jnp.asarray(qo), jnp.asarray(so), eps=eps,
+        )
+
+        # fp32 reference of the same math on the DEQUANTIZED weights:
+        # the remaining error is then only the per-row activation quant
+        def ref(x, w0, w1, wo):
+            var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+            h = x * jax.lax.rsqrt(var + eps) * lnw
+            hid = h @ w0
+            hid = (0.5 * hid * (1.0 + jnp.tanh(
+                np.sqrt(2.0 / np.pi) * (hid + 0.044715 * hid ** 3))))
+            if w1 is not None:
+                hid = hid * (h @ w1)
+            return x + hid @ wo
+
+        deq = ref(
+            x,
+            jnp.asarray(q0, jnp.float32) * s0,
+            (jnp.asarray(q1, jnp.float32) * s1) if gated else None,
+            jnp.asarray(qo, jnp.float32) * so,
+        )
+        rel = float(jnp.max(jnp.abs(out - deq))
+                    / (jnp.max(jnp.abs(deq)) + 1e-9))
+        assert rel < 0.05, rel          # activation-quant error only
+        assert _cos(out, deq) > 0.999
+
+        exact = ref(x, wi_0, wi_1 if gated else None, wo)
+        assert _cos(out, exact) > 0.995  # + weight-quant error
+
+    def test_group_batching(self):
+        d, f = 32, 64
+        ks = iter(jax.random.split(jax.random.PRNGKey(1), 8))
+        x = jax.random.normal(next(ks), (4, 8, d), dtype=jnp.float32)
+        lnw = jnp.ones((d,))
+        q0, s0 = quantize_weight_i8(jax.random.normal(next(ks), (d, f)))
+        qo, so = quantize_weight_i8(jax.random.normal(next(ks), (f, d)))
+        a = fused_t5_ffn_q8(x, lnw, jnp.asarray(q0), jnp.asarray(s0),
+                            None, None, jnp.asarray(qo), jnp.asarray(so),
+                            group=1)
+        b2 = fused_t5_ffn_q8(x, lnw, jnp.asarray(q0), jnp.asarray(s0),
+                             None, None, jnp.asarray(qo), jnp.asarray(so),
+                             group=2)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestModel:
+    def _cfg(self, **kw):
+        return T5Config.small_test(
+            d_model=64, d_ff=128, num_heads=4, d_kv=16,
+            num_encoder_layers=4, num_decoder_layers=2, **kw
+        )
+
+    def test_encoder_drift_bounded_at_depth(self):
+        cfg = self._cfg()
+        params = init_t5_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 24), 0, 2000)
+        mask = (ids % 7 != 0).astype(jnp.int32)  # ragged mask path too
+        ref = t5_encode(params, cfg, input_ids=ids, attention_mask=mask)
+        pq = quantize_encoder_ffn(params)
+        out = t5_encode(pq, self._cfg(int8_encoder_ffn=True),
+                        input_ids=ids, attention_mask=mask)
+        assert _cos(out, ref) > 0.995
+        # original params must be untouched (frozen-LM invariant)
+        assert "ffn_q8" not in params["encoder"]
+        np.testing.assert_array_equal(
+            np.asarray(params["encoder"]["ffn"]["wi_0"]),
+            np.asarray(pq["encoder"]["ffn"]["wi_0"]),
+        )
+
+    def test_missing_ffn_q8_raises(self):
+        cfg = self._cfg(int8_encoder_ffn=True)
+        params = init_t5_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        ids = jnp.zeros((1, 8), jnp.int32)
+        with pytest.raises(ValueError, match="quantize_encoder_ffn"):
+            t5_encode(params, cfg, input_ids=ids)
+
+    def test_composes_with_fused_attention(self):
+        cfg = self._cfg(fused_encoder_attention=True)
+        params = init_t5_params(jax.random.PRNGKey(2), cfg, jnp.float32)
+        ids = jax.random.randint(jax.random.PRNGKey(3), (2, 16), 0, 2000)
+        ref = t5_encode(params, cfg, input_ids=ids)
+        pq = quantize_encoder_ffn(params)
+        out = t5_encode(
+            pq, self._cfg(fused_encoder_attention=True,
+                          int8_encoder_ffn=True),
+            input_ids=ids,
+        )
+        assert _cos(out, ref) > 0.995
