@@ -204,6 +204,31 @@ def test_pipelined_eval_fallback_one_at_a_time(tmp_path):
     assert "test_evaluation/accuracy_overall" in metrics
 
 
+def test_pipelined_eval_fallback_int8_encoder_ffn(tmp_path):
+    """tpu.int8_encoder_ffn has no pipelined encoder twin: pipe > 1 must
+    fall back to the 2-D mesh where fused_t5_ffn_q8 actually executes
+    (silently dropping the opt-in mode would misreport the measured
+    configuration)."""
+    from test_e2e import (
+        build_executor,
+        make_test_config,
+        write_vqa_fixtures,
+    )
+
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    fixtures = write_vqa_fixtures(tmp_path)
+    config = make_test_config(tmp_path, fixtures)
+    config.model_config.lm_config["num_heads"] = 8
+    config.tpu.mesh = {"data": 2, "pipe": 2, "model": 2}
+    config.tpu.int8_encoder_ffn = True
+    ex = build_executor(config)
+    assert not ex.pipelined
+    assert ex.mesh is not None and "pipe" not in ex.mesh.shape
+    assert "ffn_q8" in ex.model.params["lm"]["encoder"]
+    metrics = ex.test()
+    assert "test_evaluation/accuracy_overall" in metrics
+
+
 def test_pipelined_eval_fallback_beam(tmp_path):
     ex = _build_vqa_eval_executor(
         tmp_path, {"data": 2, "pipe": 2, "model": 2}, num_beams=2,

@@ -77,6 +77,46 @@ def test_generate_sharded_matches_single_device(setup, dp, tp):
     np.testing.assert_allclose(np.asarray(lp), lp_ref, rtol=1e-4, atol=1e-5)
 
 
+def test_int8_ffn_generate_sharded_matches_single_device(setup):
+    """The opt-in int8 encoder FFN under a (data, model) mesh: the
+    replicated ffn_q8 subtree (parallel/mesh.py spec guard) must give
+    EXACTLY the single-device int8 tokens."""
+    cfg, params, prefix, ids, mask, _, _ = setup
+    from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (
+        quantize_encoder_ffn,
+    )
+    import dataclasses
+
+    q_params = {"lm": quantize_encoder_ffn(params["lm"]),
+                "mapper": params["mapper"]}
+    q_cfg = dataclasses.replace(
+        cfg, lm=dataclasses.replace(cfg.lm, int8_encoder_ffn=True))
+    ref_model = VCT0Model(q_cfg, q_params)
+    tokens_ref, lp_ref = ref_model.generate(prefix, ids, mask,
+                                            max_new_tokens=5)
+
+    mesh = make_mesh(AttrDict(tpu={"mesh": {"data": 4, "model": 2}}))
+    sharded = {
+        "lm": shard_lm_params(mesh, q_params["lm"]),
+        "mapper": replicate_params(mesh, q_params["mapper"]),
+    }
+    batch_sh = NamedSharding(mesh, P("data"))
+    model = VCT0Model(q_cfg, sharded)
+    tokens, lp = model.generate(
+        jax.device_put(prefix, batch_sh),
+        jax.device_put(ids, batch_sh),
+        jax.device_put(mask, batch_sh),
+        max_new_tokens=5,
+    )
+    np.testing.assert_array_equal(np.asarray(tokens),
+                                  np.asarray(tokens_ref))
+    # logprob tolerance is looser than the bf16 test above: GSPMD may
+    # regroup the pallas grid under the mesh and the int8 dequant sums
+    # accumulate in a different fp32 order
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_ref),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_beam_generate_sharded_matches_single_device(setup):
     cfg, params, prefix, ids, mask, *_ = setup
     model = VCT0Model(cfg, params)
