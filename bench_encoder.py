@@ -30,6 +30,7 @@ from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (  # noqa: E402
     T5Config,
     embed_tokens,
     init_t5_params,
+    quantize_encoder_attn,
     quantize_encoder_ffn,
     t5_encode,
 )
@@ -90,6 +91,11 @@ def main() -> None:
     q_params = quantize_encoder_ffn(enc_params)
     bench(dataclasses.replace(base_cfg, int8_encoder_ffn=True),
           "fused attn + int8 ffn (opt-in)", bench_params=q_params)
+    # + int8 QKV/O projections around the bf16 attention core
+    qa_params = quantize_encoder_attn(q_params)
+    bench(dataclasses.replace(base_cfg, int8_encoder_ffn=True,
+                              int8_encoder_attn=True),
+          "int8 ffn + int8 qkv/o (opt-in)", bench_params=qa_params)
 
 
 if __name__ == "__main__":

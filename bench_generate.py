@@ -31,9 +31,13 @@ def main() -> None:
                         help="int8 encoder FFN on the MXU (opt-in bulk-"
                         "eval mode, 1.27x the encoder; raises the "
                         "scoped-VMEM limit)")
+    parser.add_argument("--int8_attn", action="store_true",
+                        help="int8 encoder QKV/O projections around the "
+                        "bf16 attention core (opt-in, composes with "
+                        "--int8_ffn)")
     args = parser.parse_args()
 
-    if args.fused_ffn or args.int8_ffn:
+    if args.fused_ffn or args.int8_ffn or args.int8_attn:
         from explicit_alignment_for_vqa_tasks_tpu.utils.tpu_flags import (
             ensure_scoped_vmem_limit,
         )
@@ -67,7 +71,8 @@ def main() -> None:
                             fused_encoder_attention=True,
                             fused_encoder_ffn=args.fused_ffn,
                             int8_cross_kv=args.int8_cross_kv,
-                            int8_encoder_ffn=args.int8_ffn)
+                            int8_encoder_ffn=args.int8_ffn,
+                            int8_encoder_attn=args.int8_attn)
     cfg = VCT0Config(
         lm=lm_cfg,
         mapper=MapperConfig(prefix_size=768, d_model=lm_cfg.d_model,
@@ -81,6 +86,12 @@ def main() -> None:
         )
 
         params["lm"] = quantize_encoder_ffn(params["lm"])
+    if args.int8_attn:
+        from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (
+            quantize_encoder_attn,
+        )
+
+        params["lm"] = quantize_encoder_attn(params["lm"])
     model = VCT0Model(cfg, params)
 
     B, L, P = args.batch, args.seq, args.shots + 1
@@ -125,6 +136,7 @@ def main() -> None:
             "spliced_length": L + 9 * P,
             "int8_cross_kv": bool(args.int8_cross_kv),
             "int8_encoder_ffn": bool(args.int8_ffn),
+            "int8_encoder_attn": bool(args.int8_attn),
         },
     }))
 

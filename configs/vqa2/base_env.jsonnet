@@ -108,7 +108,9 @@ local caption_features = {
     // tests/test_int8_encoder_ffn.py for the pinned bounds):
     //   "int8_cross_kv": true      halves decode KV bytes, unlocks B=64
     //   "int8_encoder_ffn": true   int8 FFN on the MXU, 1.27x encoder
-    //                              (53.4 vs 44.8 prompts/s with both)
+    //   "int8_encoder_attn": true  int8 QKV/O projections too -> 1.52x
+    //                              encoder, 57.5 vs 44.8 prompts/s with
+    //                              all three (needs fused_attention)
   },
   "cache": {
     "default_folder": default_cache_folder,

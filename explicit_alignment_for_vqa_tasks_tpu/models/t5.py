@@ -92,6 +92,15 @@ class T5Config:
     # scoped-VMEM requirement as fused_encoder_ffn (weights resident,
     # half the bytes).
     int8_encoder_ffn: bool = False
+    # int8 encoder attention projections
+    # (ops/fused_attention_block.py::fused_t5_ln_qkv_q8 +
+    # fused_oproj_residual_q8): RMS-norm + Q/K/V and the output
+    # projection int8 on the MXU around the bf16 attention core — the
+    # next-largest MXU term (~34% of encoder FLOPs) after the FFN.
+    # Same opt-in caveats as int8_encoder_ffn; requires
+    # fused_encoder_attention (the core stays Pallas bf16) and
+    # params["encoder"]["self_attn_q8"] from quantize_encoder_attn().
+    int8_encoder_attn: bool = False
 
     @classmethod
     def t0_3b(cls, **kw) -> "T5Config":
@@ -370,6 +379,32 @@ def quantize_encoder_ffn(params: Params) -> Params:
     return out
 
 
+def quantize_encoder_attn(params: Params) -> Params:
+    """Host-side, once: int8 quantization of the scan-stacked encoder
+    attention projections (q/k/v/o) for cfg.int8_encoder_attn. Same
+    per-output-channel scheme as quantize_encoder_ffn."""
+    import numpy as np
+
+    enc = params["encoder"]
+    attn = enc["self_attn"]
+
+    def quant_stacked(w):
+        w = np.asarray(w, np.float32)                    # (L, Din, Dout)
+        scale = np.maximum(np.abs(w).max(axis=1), 1e-8) / 127.0  # (L, Dout)
+        q = np.clip(np.round(w / scale[:, None, :]), -127, 127)
+        return q.astype(np.int8), scale.astype(np.float32)
+
+    q8 = {}
+    for name in ("q", "k", "v", "o"):
+        q, s = quant_stacked(attn[name])
+        q8[name] = jnp.asarray(q)
+        q8[name + "_s"] = jnp.asarray(s)
+    out = dict(params)
+    out["encoder"] = dict(enc)
+    out["encoder"]["self_attn_q8"] = q8
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Encoder
 # ---------------------------------------------------------------------------
@@ -405,6 +440,24 @@ def t5_encode(
 
         def layer(carry, layer_p):
             y = carry
+            if cfg.int8_encoder_attn and "self_attn_q8" in layer_p:
+                from ..ops.fused_attention_block import (
+                    fused_oproj_residual_q8,
+                    fused_t5_ln_qkv_q8,
+                )
+
+                a8 = layer_p["self_attn_q8"]
+                q, k, v = fused_t5_ln_qkv_q8(
+                    y, layer_p["ln0"],
+                    a8["q"], a8["q_s"], a8["k"], a8["k_s"],
+                    a8["v"], a8["v_s"], eps=cfg.layer_norm_epsilon,
+                )
+                attn = t5_attention_core_vjp(
+                    q, k, v, pos_hll, attention_mask, cfg.num_heads
+                )
+                y = fused_oproj_residual_q8(y, attn, a8["o"], a8["o_s"])
+                y = _encoder_ffn(layer_p, y, cfg)
+                return y, (y if collect_hiddens else None)
             attn_in = rms_norm(y, layer_p["ln0"], cfg.layer_norm_epsilon)
             p = layer_p["self_attn"]
             q = jnp.einsum(
@@ -458,6 +511,21 @@ def t5_encode(
         # the unused bf16 "ffn" xs slices are dead code under the q8
         # dispatch and XLA eliminates their HBM reads
         stacked["ffn_q8"] = enc["ffn_q8"]
+    if cfg.int8_encoder_attn:
+        if not cfg.fused_encoder_attention:
+            raise ValueError(
+                "cfg.int8_encoder_attn requires fused_encoder_attention "
+                "(the bf16 Pallas attention core between the int8 "
+                "projections)"
+            )
+        if "self_attn_q8" not in enc:
+            raise ValueError(
+                "cfg.int8_encoder_attn requires "
+                "params['encoder']['self_attn_q8'] — call "
+                "quantize_encoder_attn(params) once after loading the "
+                "frozen LM weights"
+            )
+        stacked["self_attn_q8"] = enc["self_attn_q8"]
     x, per_layer = jax.lax.scan(layer, x, stacked)
     final = rms_norm(x, enc["final_ln"], cfg.layer_norm_epsilon)
     if collect_hiddens:

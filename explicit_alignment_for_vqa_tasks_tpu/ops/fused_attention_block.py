@@ -1534,3 +1534,124 @@ def fused_t5_ffn_q8(
         out_shape=jax.ShapeDtypeStruct((batch, seq, d_model), x.dtype),
         interpret=interpret,
     )(*args)
+
+
+# ---------------------------------------------------------------------------
+# int8 T5 encoder attention projections (round 3): with the FFN already
+# int8 (fused_t5_ffn_q8), the QKV/O projections are the next-largest
+# MXU term (~34% of encoder FLOPs). Same split shape as the winning
+# ViT-L "split3" path: norm+QKV in one program, O+residual in another,
+# the bf16 attention core (t5_attention_core) between them.
+# ---------------------------------------------------------------------------
+
+def _make_t5_ln_qkv_q8_kernel(group: int, seq: int, d_model: int,
+                              inner: int, eps: float, out_dtype):
+    gl = group * seq
+
+    def kernel(x_ref, lnw_ref, wq_ref, sq_ref, wk_ref, sk_ref,
+               wv_ref, sv_ref, q_ref, k_ref, v_ref):
+        x32 = x_ref[:].reshape(gl, d_model).astype(jnp.float32)
+        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        h = x32 * jax.lax.rsqrt(var + eps) * lnw_ref[:].astype(jnp.float32)
+        hq, hs = _row_quant_i8(h)           # one quant feeds all three
+        for w_ref, s_ref, o_ref in ((wq_ref, sq_ref, q_ref),
+                                    (wk_ref, sk_ref, k_ref),
+                                    (wv_ref, sv_ref, v_ref)):
+            acc = jax.lax.dot_general(
+                hq, w_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            out = acc.astype(jnp.float32) * hs * s_ref[:].astype(jnp.float32)
+            o_ref[:] = out.reshape(group, seq, inner).astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("group", "eps", "interpret"))
+def fused_t5_ln_qkv_q8(
+    x: jax.Array,            # (B, L, D) — PRE-NORM residual stream
+    ln_weight: jax.Array,    # (D,) RMS-norm scale
+    wq: jax.Array, sq: jax.Array,   # int8 (D, inner) + f32 (inner,)
+    wk: jax.Array, sk: jax.Array,
+    wv: jax.Array, sv: jax.Array,
+    group: int = 1,
+    eps: float = 1e-6,
+    interpret: Optional[bool] = None,
+) -> tuple:
+    """RMS-norm + the three T5 attention input projections, every matmul
+    int8 on the MXU (T5 has no attention biases or query scaling).
+    Returns (q, k, v) shaped (B, L, inner) in x.dtype, ready for
+    t5_attention_core. Opt-in with cfg.int8_encoder_attn; inference-only."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, seq, d_model = x.shape
+    assert batch % group == 0, (batch, group)
+    inner = wq.shape[1]
+    xspec = pl.BlockSpec((group, seq, d_model), lambda i: (i, 0, 0))
+    ospec = pl.BlockSpec((group, seq, inner), lambda i: (i, 0, 0))
+    mat = pl.BlockSpec((d_model, inner), lambda i: (0, 0))
+    ivec = pl.BlockSpec((inner,), lambda i: (0,))
+    out_sds = jax.ShapeDtypeStruct((batch, seq, inner), x.dtype)
+    return pl.pallas_call(
+        _make_t5_ln_qkv_q8_kernel(group, seq, d_model, inner,
+                                  eps, x.dtype),
+        grid=(batch // group,),
+        in_specs=[
+            xspec, pl.BlockSpec((d_model,), lambda i: (0,)),
+            mat, ivec, mat, ivec, mat, ivec,
+        ],
+        out_specs=(ospec, ospec, ospec),
+        out_shape=(out_sds, out_sds, out_sds),
+        interpret=interpret,
+    )(x, ln_weight, wq, sq, wk, sk, wv, sv)
+
+
+def _make_oproj_residual_q8_kernel(group: int, seq: int, inner: int,
+                                   d_model: int, out_dtype):
+    gl = group * seq
+
+    def kernel(res_ref, attn_ref, wo_ref, so_ref, o_ref):
+        a32 = attn_ref[:].reshape(gl, inner).astype(jnp.float32)
+        aq, ascale = _row_quant_i8(a32)
+        acc = jax.lax.dot_general(
+            aq, wo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * ascale * so_ref[:].astype(jnp.float32)
+        res = res_ref[:].reshape(gl, d_model).astype(jnp.float32)
+        o_ref[:] = (res + y).reshape(group, seq, d_model).astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+def fused_oproj_residual_q8(
+    residual: jax.Array,     # (B, L, D) — the pre-attention stream
+    attn: jax.Array,         # (B, L, inner) — attention core output
+    wo: jax.Array, so: jax.Array,   # int8 (inner, D) + f32 (D,)
+    group: int = 1,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """residual + attn @ Wo with the matmul int8 on the MXU (the per-row
+    activation quant stays in VMEM). Partner of fused_t5_ln_qkv_q8."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, seq, inner = attn.shape
+    assert batch % group == 0, (batch, group)
+    d_model = wo.shape[1]
+    rspec = pl.BlockSpec((group, seq, d_model), lambda i: (i, 0, 0))
+    aspec = pl.BlockSpec((group, seq, inner), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        _make_oproj_residual_q8_kernel(group, seq, inner, d_model,
+                                       residual.dtype),
+        grid=(batch // group,),
+        in_specs=[
+            rspec, aspec,
+            pl.BlockSpec((inner, d_model), lambda i: (0, 0)),
+            pl.BlockSpec((d_model,), lambda i: (0,)),
+        ],
+        out_specs=rspec,
+        out_shape=jax.ShapeDtypeStruct((batch, seq, d_model),
+                                       residual.dtype),
+        interpret=interpret,
+    )(residual, attn, wo, so)

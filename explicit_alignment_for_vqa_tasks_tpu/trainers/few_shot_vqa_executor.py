@@ -81,12 +81,14 @@ class FewShotVQAExecutor(BaseExecutor):
         if dec_mods:
             return ("forced decoder_input_ids generation has no pipelined "
                     "twin")
-        if bool(self.config.get("tpu", {}).get("int8_encoder_ffn", False)):
+        tpu_cfg = self.config.get("tpu", {})
+        if bool(tpu_cfg.get("int8_encoder_ffn", False)) or \
+                bool(tpu_cfg.get("int8_encoder_attn", False)):
             # the GPipe encoder stages run their own bf16 layer math;
-            # silently dropping the opt-in int8 mode would misreport the
+            # silently dropping the opt-in int8 modes would misreport the
             # measured configuration, so fall back to the 2-D mesh where
-            # fused_t5_ffn_q8 actually executes
-            return "int8_encoder_ffn has no pipelined encoder twin"
+            # the q8 kernels actually execute
+            return "int8 encoder modes have no pipelined encoder twin"
         return None
 
     def trainable_state(self) -> Dict[str, Any]:

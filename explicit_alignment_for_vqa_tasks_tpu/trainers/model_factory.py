@@ -134,6 +134,10 @@ def build_model_from_config(config: Any) -> Tuple[Any, Any]:
             "int8_encoder_ffn",
             bool(config.get("tpu", {}).get("int8_encoder_ffn", False)),
         )
+        overrides.setdefault(
+            "int8_encoder_attn",
+            bool(config.get("tpu", {}).get("int8_encoder_attn", False)),
+        )
         lm_cfg = base(dtype=compute_dtype, **overrides)
         cfg = VCT0Config.from_model_args(
             model_args, lm_cfg=lm_cfg,
@@ -153,6 +157,10 @@ def build_model_from_config(config: Any) -> Tuple[Any, Any]:
             from ..models.t5 import quantize_encoder_ffn
 
             params["lm"] = quantize_encoder_ffn(params["lm"])
+        if lm_cfg.int8_encoder_attn:
+            from ..models.t5 import quantize_encoder_attn
+
+            params["lm"] = quantize_encoder_attn(params["lm"])
         return VCT0Model(cfg, params), "vct0"
 
     if model_class in ("ClipCaptionPrefix", "ClipCaptionModel"):

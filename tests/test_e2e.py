@@ -221,10 +221,14 @@ class TestFewShotVQAEndToEnd:
         fixtures = write_vqa_fixtures(tmp_path)
         config = make_test_config(tmp_path, fixtures)
         config.tpu.int8_encoder_ffn = True
+        config.tpu.int8_encoder_attn = True
+        config.tpu.fused_attention = True  # int8_encoder_attn requires it
         executor = build_executor(config)
         lm_params = executor.model.params["lm"]
         assert "ffn_q8" in lm_params["encoder"]
+        assert "self_attn_q8" in lm_params["encoder"]
         assert executor.model.cfg.lm.int8_encoder_ffn
+        assert executor.model.cfg.lm.int8_encoder_attn
         metrics = executor.test()
         assert "test_evaluation/accuracy_overall" in metrics
         assert 0.0 <= metrics["test_evaluation/accuracy_overall"] <= 100.0

@@ -141,3 +141,93 @@ class TestModel:
             input_ids=ids,
         )
         assert _cos(out, ref) > 0.995
+
+
+class TestAttnProjections:
+    """int8 encoder attention projections (cfg.int8_encoder_attn):
+    fused_t5_ln_qkv_q8 + bf16 attention core + fused_oproj_residual_q8."""
+
+    def test_qkv_kernel_matches_dequantized_math(self):
+        from explicit_alignment_for_vqa_tasks_tpu.ops.fused_attention_block import (  # noqa: E501
+            fused_t5_ln_qkv_q8,
+        )
+
+        d, inner, b, l, eps = 64, 48 * 2, 2, 16, 1e-6
+        ks = iter(jax.random.split(jax.random.PRNGKey(5), 8))
+        x = jax.random.normal(next(ks), (b, l, d), dtype=jnp.float32)
+        lnw = 1.0 + 0.1 * jax.random.normal(next(ks), (d,))
+        ws = [jax.random.normal(next(ks), (d, inner)) * d ** -0.5
+              for _ in range(3)]
+        qs = [quantize_weight_i8(w) for w in ws]
+        q, k, v = fused_t5_ln_qkv_q8(
+            x, lnw,
+            jnp.asarray(qs[0][0]), jnp.asarray(qs[0][1]),
+            jnp.asarray(qs[1][0]), jnp.asarray(qs[1][1]),
+            jnp.asarray(qs[2][0]), jnp.asarray(qs[2][1]), eps=eps,
+        )
+        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+        h = x * jax.lax.rsqrt(var + eps) * lnw
+        for got, (wq, s) in zip((q, k, v), qs):
+            want = h @ (jnp.asarray(wq, jnp.float32) * s)
+            assert _cos(got, want) > 0.999
+
+    def test_oproj_kernel_adds_residual(self):
+        from explicit_alignment_for_vqa_tasks_tpu.ops.fused_attention_block import (  # noqa: E501
+            fused_oproj_residual_q8,
+        )
+
+        d, inner, b, l = 64, 96, 2, 16
+        ks = iter(jax.random.split(jax.random.PRNGKey(6), 4))
+        res = jax.random.normal(next(ks), (b, l, d), dtype=jnp.float32)
+        attn = jax.random.normal(next(ks), (b, l, inner), dtype=jnp.float32)
+        wo = jax.random.normal(next(ks), (inner, d)) * inner ** -0.5
+        qo, so = quantize_weight_i8(wo)
+        out = fused_oproj_residual_q8(res, attn, jnp.asarray(qo),
+                                      jnp.asarray(so))
+        want = res + attn @ (jnp.asarray(qo, jnp.float32) * so)
+        assert _cos(out, want) > 0.999
+
+    def _cfg(self, **kw):
+        return T5Config.small_test(
+            d_model=64, d_ff=128, num_heads=4, d_kv=16,
+            num_encoder_layers=4, num_decoder_layers=2,
+            fused_encoder_attention=True, **kw
+        )
+
+    def test_full_int8_encoder_drift_bounded(self):
+        from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (
+            quantize_encoder_attn,
+        )
+
+        cfg = self._cfg()
+        params = init_t5_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 24), 0, 2000)
+        mask = (ids % 7 != 0).astype(jnp.int32)
+        ref = t5_encode(params, cfg, input_ids=ids, attention_mask=mask)
+        pq = quantize_encoder_attn(quantize_encoder_ffn(params))
+        out = t5_encode(
+            pq, self._cfg(int8_encoder_ffn=True, int8_encoder_attn=True),
+            input_ids=ids, attention_mask=mask,
+        )
+        assert _cos(out, ref) > 0.995
+
+    def test_requires_fused_attention(self):
+        from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (
+            quantize_encoder_attn,
+        )
+
+        cfg = T5Config.small_test(
+            d_model=64, d_ff=128, num_heads=4, d_kv=16,
+            num_encoder_layers=2, num_decoder_layers=2,
+            int8_encoder_attn=True,  # but fused_encoder_attention=False
+        )
+        params = quantize_encoder_attn(
+            init_t5_params(jax.random.PRNGKey(0), cfg, jnp.float32))
+        with pytest.raises(ValueError, match="fused_encoder_attention"):
+            t5_encode(params, cfg, input_ids=jnp.zeros((1, 8), jnp.int32))
+
+    def test_missing_attn_q8_raises(self):
+        cfg = self._cfg(int8_encoder_attn=True)
+        params = init_t5_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        with pytest.raises(ValueError, match="quantize_encoder_attn"):
+            t5_encode(params, cfg, input_ids=jnp.zeros((1, 8), jnp.int32))
