@@ -1,0 +1,132 @@
+"""int8-encoder-vs-bf16 drift study (round 3).
+
+The opt-in bulk-eval modes (`int8_encoder_ffn` + `int8_encoder_attn`,
+57.5 prompts/s vs 44.8 bf16 on the flagship bench) quantize the frozen
+LM's encoder matmuls to int8. This quantifies what that does to the
+ANSWERS, with the same methodology as tools/bf16_drift_study.py: one
+random t5-large-shaped model, identical params, encoder drift by depth
+plus the 20-step fed-back greedy decode (a VQA answer changes only if
+some decode step's argmax flips, so the flip rate upper-bounds the
+answer-level disagreement). Baseline is the PRODUCTION bf16 path — the
+question this answers is "what does turning the int8 modes on change",
+not "int8 vs fp32".
+
+Random-init caveat (same as the bf16 study): trained weights have larger
+logit margins than random init, so trained-weight agreement is expected
+to be strictly better than reported here.
+
+Run (chip or CPU):
+    python -m explicit_alignment_for_vqa_tasks_tpu.tools.int8_drift_study
+Emits one JSON line; paste the summary into PARITY.md.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+
+
+def main() -> None:
+    from ..utils.tpu_flags import ensure_scoped_vmem_limit
+
+    ensure_scoped_vmem_limit(98304)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models.t5 import (
+        T5Config,
+        init_t5_params,
+        quantize_encoder_attn,
+        quantize_encoder_ffn,
+        t5_encode,
+    )
+    from ..ops.decoding import greedy_decode_t5
+    from ..utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    # t5-large shape (~770M params); bf16 baseline IS the production mode
+    cfg_bf = T5Config(
+        vocab_size=32128, d_model=1024, d_kv=64, num_heads=16, d_ff=2816,
+        num_encoder_layers=24, num_decoder_layers=24, dtype=jnp.bfloat16,
+        fused_encoder_attention=True,
+    )
+    cfg_q8 = dataclasses.replace(
+        cfg_bf, int8_encoder_ffn=True, int8_encoder_attn=True
+    )
+
+    print("initializing t5-large-shaped params...", file=sys.stderr)
+    params = init_t5_params(jax.random.PRNGKey(0), cfg_bf, jnp.bfloat16)
+    params_q8 = quantize_encoder_attn(quantize_encoder_ffn(params))
+
+    rng = np.random.default_rng(0)
+    batch, length, max_new = 16, 64, 20
+    ids = jnp.asarray(rng.integers(2, 32000, (batch, length)), jnp.int32)
+    mask = jnp.ones((batch, length), jnp.int32)
+
+    # ---- encoder drift by depth ----
+    print("encoder drift by depth...", file=sys.stderr)
+    _, per_layer_bf = t5_encode(params, cfg_bf, input_ids=ids,
+                                attention_mask=mask, collect_hiddens=True)
+    _, per_layer_q8 = t5_encode(params_q8, cfg_q8, input_ids=ids,
+                                attention_mask=mask, collect_hiddens=True)
+    layer_rel = []
+    for a, b in zip(np.asarray(per_layer_bf, np.float32),
+                    np.asarray(per_layer_q8, np.float32)):
+        layer_rel.append(float(np.linalg.norm(b - a) / np.linalg.norm(a)))
+
+    # ---- drift through the fed-back greedy decode ----
+    print("greedy decode bf16 vs int8-encoder...", file=sys.stderr)
+
+    def decode(p, cfg):
+        hidden = t5_encode(p, cfg, input_ids=ids, attention_mask=mask)
+        tokens, lps = greedy_decode_t5(p, cfg, hidden, mask,
+                                       max_new_tokens=max_new)
+        return np.asarray(tokens), np.asarray(lps, dtype=np.float32)
+
+    tok_bf, lp_bf = decode(params, cfg_bf)
+    tok_q8, lp_q8 = decode(params_q8, cfg_q8)
+    same = tok_bf == tok_q8
+    first_flip = np.where(
+        same.all(axis=1), max_new, (~same).argmax(axis=1)
+    )
+    per_step_flip = []
+    for t in range(max_new):
+        rows = first_flip >= t
+        if rows.sum() == 0:
+            per_step_flip.append(None)
+            continue
+        per_step_flip.append(
+            round(float((tok_bf[rows, t] != tok_q8[rows, t]).mean()), 4)
+        )
+    on_track = np.arange(max_new)[None, :] <= first_flip[:, None]
+    lp_diff = np.abs(lp_bf - lp_q8)[on_track & same]
+
+    out = {
+        "metric": "int8_encoder_drift_vs_bf16_t5_large_random",
+        "modes": ["int8_encoder_ffn", "int8_encoder_attn"],
+        "per_layer_rel_error": [round(x, 5) for x in layer_rel],
+        "first_layer_rel_error": round(layer_rel[0], 5),
+        "last_layer_rel_error": round(layer_rel[-1], 5),
+        "growth_factor": round(layer_rel[-1] / max(layer_rel[0], 1e-9), 2),
+        "shapes": {"batch": batch, "enc_len": length, "layers": 24,
+                   "d_model": 1024},
+        "greedy_decode": {
+            "max_new_tokens": max_new,
+            "full_sequence_match_rate": round(
+                float(same.all(axis=1).mean()), 4),
+            "per_step_flip_rate_on_trajectory": per_step_flip,
+            "mean_first_flip_step": round(float(first_flip.mean()), 2),
+            "on_trajectory_logprob_mean_abs_diff": round(
+                float(lp_diff.mean()) if lp_diff.size else 0.0, 5
+            ),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
