@@ -23,6 +23,14 @@ sweep through the real executors, and prints a BASELINE.md diff table
 with +-0.3 parity verdicts (exit code 1 with --strict when any sweep
 point misses). The harness itself is CI-tested with tiny weights
 (tests/test_replicate_baseline.py), so it works on day 1.
+
+To accuracy-validate the opt-in int8 throughput modes (required before
+production use — see tools/int8_drift_study.py), add:
+
+    --opts "tpu.int8_cross_kv=True" "tpu.int8_encoder_ffn=True" \
+           "tpu.int8_encoder_attn=True"
+
+and compare the resulting table against the bf16 run's.
 """
 
 from __future__ import annotations

@@ -149,3 +149,31 @@ def test_harness_deterministic(tmp_path, tiny_weights_dir,
         with open(report_path) as fh:
             accs.append(json.load(fh)["rows"][0]["accuracy"])
     assert accs[0] == accs[1]
+
+
+@pytest.mark.slow
+def test_harness_with_int8_opts(tmp_path, tiny_weights_dir,
+                                tiny_mapper_ckpt):
+    """The documented int8 accuracy-validation invocation: the harness
+    must run the sweep with the opt-in int8 modes enabled through --opts
+    (this is the command a user runs before enabling them in production
+    — see tools/int8_drift_study.py)."""
+    from explicit_alignment_for_vqa_tasks_tpu.tools.replicate_baseline import (
+        main,
+    )
+
+    os.chdir(REPO)
+    fixtures = write_vqa_fixtures(tmp_path)
+    report_path = tmp_path / "report.json"
+    argv = _harness_argv(
+        tiny_weights_dir, tiny_mapper_ckpt, fixtures, tmp_path / "work",
+        shots=[0], output=report_path,
+    )
+    argv += ["tpu.int8_cross_kv=True", "tpu.int8_encoder_ffn=True",
+             "tpu.int8_encoder_attn=True", "tpu.fused_attention=True"]
+    rc = main(argv)
+    assert rc == 0
+    with open(report_path) as fh:
+        report = json.load(fh)
+    assert len(report["rows"]) == 1
+    assert 0.0 <= report["rows"][0]["accuracy"] <= 100.0
