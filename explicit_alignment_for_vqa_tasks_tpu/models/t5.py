@@ -733,13 +733,6 @@ def t5_decode_step(
          cross_c) = scanned
         if cfg.fused_decode_attention or not cfg.int8_cross_kv:
             ck, cv = cross_c.get("k"), cross_c.get("v")
-        else:
-            # dequantize THIS layer's int8 cross K/V (scan temporary —
-            # the bf16 copy never exists for all layers at once)
-            ck = (cross_c["k8"].astype(y.dtype)
-                  * cross_c["ks"].astype(y.dtype))
-            cv = (cross_c["v8"].astype(y.dtype)
-                  * cross_c["vs"].astype(y.dtype))
         sa_in = rms_norm(y, ln0, cfg.layer_norm_epsilon)
         q = _project(sa_in, layer_p["q"], cfg.num_heads)
         k_new = _project(sa_in, layer_p["k"], cfg.num_heads)
@@ -764,6 +757,33 @@ def t5_decode_step(
                 cq.reshape(cq.shape[0], -1), cross_k_flat, cross_v_flat,
                 encoder_mask, layer_idx, cfg.num_heads,
             )[:, None, :]                              # (B, 1, H*kv)
+        elif cfg.int8_cross_kv:
+            # SCALE-FOLDED int8 attention: the per-(row,head,channel)
+            # scales commute out of both contractions —
+            #   q.(k8*ks) == (q*ks).k8   and   P@(v8*vs) == (P@v8)*vs
+            # — so the int8 caches feed the dots directly and no big
+            # dequant multiply appears in the graph. Measured NEUTRAL vs
+            # the explicit per-layer dequant it replaces (34.27 vs 34.33
+            # ms/step at B=64, tools/decode_profile.py): XLA was already
+            # fusing the dequant into its kLoop cache reads. Kept for the
+            # smaller graph and robustness to XLA fusion decisions.
+            # (the int8 operands convert to bf16 — exact for |x|<=127 —
+            # NOT f32: an f32 promotion doubles the converted cache
+            # tile bytes and OOMs at B=64)
+            q_scaled = (cq.astype(jnp.float32)
+                        * cross_c["ks"].astype(jnp.float32))
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q_scaled.astype(y.dtype),
+                cross_c["k8"].astype(y.dtype),
+                preferred_element_type=jnp.float32,
+            ) + cross_bias
+            weights = jax.nn.softmax(logits, axis=-1).astype(y.dtype)
+            cattn = (jnp.einsum(
+                "bhqk,bkhd->bqhd", weights,
+                cross_c["v8"].astype(y.dtype),
+                preferred_element_type=jnp.float32,
+            ) * cross_c["vs"].astype(jnp.float32)).astype(y.dtype)
+            cattn = cattn.reshape(cattn.shape[0], cattn.shape[1], -1)
         else:
             cattn = _attention(cq, ck, cv, cross_bias, y.dtype)
             cattn = cattn.reshape(cattn.shape[0], cattn.shape[1], -1)

@@ -102,6 +102,9 @@ def main() -> None:
     parser.add_argument("--enc_len", type=int, default=557)
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--trace_dir", default="")
+    parser.add_argument("--int8_cross_kv", action="store_true",
+                        help="profile the int8 cross-KV decode (the B=64 "
+                        "production point)")
     args = parser.parse_args()
 
     import jax
@@ -112,7 +115,8 @@ def main() -> None:
     from ..utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    cfg = T5Config.t0_3b(dtype=jnp.bfloat16)
+    cfg = T5Config.t0_3b(dtype=jnp.bfloat16,
+                         int8_cross_kv=args.int8_cross_kv)
     params = init_t5_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     embeds = jax.random.normal(
         jax.random.PRNGKey(1), (args.batch, args.enc_len, cfg.d_model),
@@ -148,7 +152,8 @@ def main() -> None:
         "wall_ms_per_step": round(wall / args.steps * 1000, 2),
         "trace": stats,
         "per_step_us": per_step,
-        "config": {"batch": args.batch, "enc_len": args.enc_len,
+        "config": {"int8_cross_kv": bool(args.int8_cross_kv),
+                   "batch": args.batch, "enc_len": args.enc_len,
                    "steps": args.steps},
         "trace_dir": trace_dir,
     }))
