@@ -96,6 +96,15 @@ def main() -> None:
     bench(dataclasses.replace(base_cfg, int8_encoder_ffn=True,
                               int8_encoder_attn=True),
           "int8 ffn + int8 qkv/o (opt-in)", bench_params=qa_params)
+    # contraction-grouping cost check: the default quantizers emit 8
+    # groups (drift reduction, PARITY.md); per-channel = 1 group is the
+    # round-3 initial scheme. Grouping must be ~free to stay the default.
+    qa1_params = quantize_encoder_attn(
+        quantize_encoder_ffn(enc_params, groups=1), groups=1)
+    bench(dataclasses.replace(base_cfg, int8_encoder_ffn=True,
+                              int8_encoder_attn=True),
+          "int8 full, per-channel scales (groups=1)",
+          bench_params=qa1_params)
 
 
 if __name__ == "__main__":

@@ -90,7 +90,12 @@ class T5Config:
     # paths keep bf16. Requires params["encoder"]["ffn_q8"] from
     # quantize_encoder_ffn(); inference-only (no VJP). Same raised
     # scoped-VMEM requirement as fused_encoder_ffn (weights resident,
-    # half the bytes).
+    # half the bytes). Drift levers (both default-on / available through
+    # quantize_encoder_ffn): per-contraction-group scales (8 groups at
+    # T0-3B widths) and optional SmoothQuant folding of calibrated
+    # activation maxima into the frozen weights
+    # (calibrate_encoder_act_max) — measured in
+    # tools/int8_drift_study.py.
     int8_encoder_ffn: bool = False
     # int8 encoder attention projections
     # (ops/fused_attention_block.py::fused_t5_ln_qkv_q8 +
@@ -310,7 +315,7 @@ def _encoder_ffn(layer_p: Params, y: jax.Array, cfg: T5Config) -> jax.Array:
         q8 = layer_p["ffn_q8"]
         gated = cfg.is_gated_act
         return fused_t5_ffn_q8(
-            y, layer_p["ln1"],
+            y, q8["ln"] if "ln" in q8 else layer_p["ln1"],
             q8["wi_0"], q8["wi_0_s"],
             q8["wi_1"] if gated else None,
             q8["wi_1_s"] if gated else None,
@@ -345,63 +350,209 @@ def _ffn_block(layer_p: Params, x: jax.Array, cfg: T5Config) -> jax.Array:
                       preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def quantize_encoder_ffn(params: Params) -> Params:
-    """Host-side, once: per-output-channel symmetric int8 quantization of
-    the scan-stacked encoder FFN weights for cfg.int8_encoder_ffn.
+def _pick_groups(k_dim: int, requested) -> int:
+    """Resolve the contraction-group count for int8 quantization.
+    ``"auto"`` picks the largest g <= 8 such that g divides k_dim and the
+    group size is a multiple of 128 lanes (aligned static slices inside
+    the Pallas kernels); an explicit int is used as-is (must divide)."""
+    if requested != "auto":
+        g = int(requested)
+        if g < 1 or k_dim % g:
+            raise ValueError(
+                f"int8 groups={g} must divide the contraction dim {k_dim}")
+        return g
+    for cand in range(min(8, k_dim), 1, -1):
+        if k_dim % cand == 0 and (k_dim // cand) % 128 == 0:
+            return cand
+    return 1
+
+
+def _quant_stacked_i8(w, groups):
+    """Per-(layer, contraction-group, output-channel) symmetric int8
+    quantization of scan-stacked (L, K, F) weights. Returns int8
+    (L, K, F) + f32 (L, G, F) scales."""
+    import numpy as np
+
+    w = np.asarray(w, np.float32)
+    layers, k_dim, f_dim = w.shape
+    kg = k_dim // groups
+    wg = w.reshape(layers, groups, kg, f_dim)
+    scale = np.maximum(np.abs(wg).max(axis=2), 1e-8) / 127.0  # (L, G, F)
+    q = np.clip(np.round(wg / scale[:, :, None, :]), -127, 127)
+    return (q.reshape(layers, k_dim, f_dim).astype(np.int8),
+            scale.astype(np.float32))
+
+
+def _smooth_factors(act_max, w_list, alpha: float):
+    """SmoothQuant channel-balancing factors (arXiv:2211.10438) for
+    norm-preceded matmuls: s_j = act_max_j^alpha / wmax_j^(1-alpha),
+    where wmax_j is the largest |weight| in input-channel row j across
+    all consuming matmuls. Dividing the preceding RMS-norm scale by s
+    and multiplying weight rows by s is exact in real arithmetic; it
+    migrates activation outlier channels (which poison the per-row
+    dynamic activation scales) into the static, per-channel-scaled
+    weights. Shapes: act_max (L, K); each w (L, K, F); returns (L, K)."""
+    import numpy as np
+
+    wmax = np.maximum.reduce([
+        np.abs(np.asarray(w, np.float32)).max(axis=2) for w in w_list
+    ])
+    a = np.maximum(np.asarray(act_max, np.float32), 1e-8)
+    s = a ** alpha / np.maximum(wmax, 1e-8) ** (1.0 - alpha)
+    return np.clip(s, 1e-4, 1e4).astype(np.float32)
+
+
+def quantize_encoder_ffn(params: Params, groups="auto",
+                         act_max=None, alpha: float = 0.5) -> Params:
+    """Host-side, once: symmetric int8 quantization of the scan-stacked
+    encoder FFN weights for cfg.int8_encoder_ffn.
 
     Returns a NEW params dict whose ["encoder"]["ffn_q8"] holds int8
-    weights stacked over layers — (L, D, F) wi_0/wi_1 with (L, F)
-    scales, (L, F, D) wo with (L, D) scales — sliced per layer by the
-    encoder scan alongside the bf16 weights they replace. The frozen LM
-    is quantized exactly once per process (the reference re-reads fp16
-    weights every run: /root/reference/src/models/vct0.py:313)."""
+    weights stacked over layers — (L, D, F) wi_0/wi_1 with (L, G, F)
+    per-(contraction-group, output-channel) scales, (L, F, D) wo with
+    (L, G', D) scales — sliced per layer by the encoder scan alongside
+    the bf16 weights they replace. The frozen LM is quantized exactly
+    once per process (the reference re-reads fp16 weights every run:
+    /root/reference/src/models/vct0.py:313).
+
+    ``groups`` ("auto" = up to 8 aligned contraction groups) bounds the
+    blast radius of outlier channels on both the weight scales and the
+    kernels' per-row activation scales. ``act_max`` (the (L, D) "ffn"
+    entry from calibrate_encoder_act_max) additionally folds SmoothQuant
+    factors into the norm scale and wi_0/wi_1 rows before quantizing —
+    exact for the bf16 math, and it stores the smoothed norm under
+    ffn_q8["ln"] so only the int8 path sees it."""
     import numpy as np
 
     enc = params["encoder"]
     ffn = enc["ffn"]
-
-    def quant_stacked(w):
-        w = np.asarray(w, np.float32)                    # (L, Din, Dout)
-        scale = np.maximum(np.abs(w).max(axis=1), 1e-8) / 127.0  # (L, Dout)
-        q = np.clip(np.round(w / scale[:, None, :]), -127, 127)
-        return q.astype(np.int8), scale.astype(np.float32)
+    wi_0 = np.asarray(ffn["wi_0"], np.float32)
+    wi_1 = np.asarray(ffn["wi_1"], np.float32) if "wi_1" in ffn else None
+    wo = np.asarray(ffn["wo"], np.float32)
 
     q8 = {}
-    for name in ("wi_0", "wi_1", "wo"):
-        if name not in ffn:
+    if act_max is not None:
+        gates = [wi_0] if wi_1 is None else [wi_0, wi_1]
+        s = _smooth_factors(act_max, gates, alpha)        # (L, D)
+        ln = np.asarray(enc["ln1"], np.float32) / s
+        q8["ln"] = jnp.asarray(ln, dtype=enc["ln1"].dtype)
+        wi_0 = wi_0 * s[:, :, None]
+        if wi_1 is not None:
+            wi_1 = wi_1 * s[:, :, None]
+
+    g_in = _pick_groups(wi_0.shape[1], groups)
+    g_hid = _pick_groups(wo.shape[1], groups)
+    for name, w, g in (("wi_0", wi_0, g_in), ("wi_1", wi_1, g_in),
+                       ("wo", wo, g_hid)):
+        if w is None:
             continue
-        q, s = quant_stacked(ffn[name])
+        q, sc = _quant_stacked_i8(w, g)
         q8[name] = jnp.asarray(q)
-        q8[name + "_s"] = jnp.asarray(s)
+        q8[name + "_s"] = jnp.asarray(sc)
     out = dict(params)
     out["encoder"] = dict(enc)
     out["encoder"]["ffn_q8"] = q8
     return out
 
 
-def quantize_encoder_attn(params: Params) -> Params:
+def quantize_encoder_attn(params: Params, groups="auto",
+                          act_max=None, alpha: float = 0.5) -> Params:
     """Host-side, once: int8 quantization of the scan-stacked encoder
     attention projections (q/k/v/o) for cfg.int8_encoder_attn. Same
-    per-output-channel scheme as quantize_encoder_ffn."""
+    grouped scheme as quantize_encoder_ffn; ``act_max`` (the (L, D)
+    "attn" entry from calibrate_encoder_act_max) folds SmoothQuant
+    factors into the attention norm (stored as self_attn_q8["ln"]) and
+    the q/k/v rows. The o projection's input is the attention-core
+    output (not norm-preceded), so it keeps plain grouped quantization."""
     import numpy as np
 
     enc = params["encoder"]
     attn = enc["self_attn"]
-
-    def quant_stacked(w):
-        w = np.asarray(w, np.float32)                    # (L, Din, Dout)
-        scale = np.maximum(np.abs(w).max(axis=1), 1e-8) / 127.0  # (L, Dout)
-        q = np.clip(np.round(w / scale[:, None, :]), -127, 127)
-        return q.astype(np.int8), scale.astype(np.float32)
+    mats = {n: np.asarray(attn[n], np.float32) for n in ("q", "k", "v", "o")}
 
     q8 = {}
-    for name in ("q", "k", "v", "o"):
-        q, s = quant_stacked(attn[name])
+    if act_max is not None:
+        s = _smooth_factors(act_max, [mats["q"], mats["k"], mats["v"]],
+                            alpha)
+        ln = np.asarray(enc["ln0"], np.float32) / s
+        q8["ln"] = jnp.asarray(ln, dtype=enc["ln0"].dtype)
+        for n in ("q", "k", "v"):
+            mats[n] = mats[n] * s[:, :, None]
+
+    for name, w in mats.items():
+        q, sc = _quant_stacked_i8(w, _pick_groups(w.shape[1], groups))
         q8[name] = jnp.asarray(q)
-        q8[name + "_s"] = jnp.asarray(s)
+        q8[name + "_s"] = jnp.asarray(sc)
     out = dict(params)
     out["encoder"] = dict(enc)
     out["encoder"]["self_attn_q8"] = q8
+    return out
+
+
+def calibrate_encoder_act_max(params: Params, cfg: T5Config,
+                              batches) -> dict:
+    """Run the exact (non-fused, non-int8) encoder over calibration
+    ``batches`` and record, per layer, the per-channel max |activation|
+    at the two RMS-norm outputs — the inputs of the quantized q/k/v and
+    wi_0/wi_1 matmuls. Feed the result to quantize_encoder_ffn /
+    quantize_encoder_attn as ``act_max`` for SmoothQuant folding.
+
+    ``batches``: iterable of (input_ids | inputs_embeds, attention_mask)
+    pairs — pass the same spliced prompt embeddings the eval path uses
+    (reference eval surface: /root/reference/src/models/vct0.py:396-491).
+    Returns {"attn": (L, D) float32, "ffn": (L, D) float32}."""
+    import dataclasses
+
+    import numpy as np
+
+    cal_cfg = dataclasses.replace(
+        cfg, int8_encoder_ffn=False, int8_encoder_attn=False,
+        fused_encoder_attention=False, fused_encoder_ffn=False,
+    )
+    enc = params["encoder"]
+    out = None
+    for x, attention_mask in batches:
+        x = jnp.asarray(x)
+        if x.ndim == 2:  # token ids
+            x = embed_tokens(params, cal_cfg, x)
+        x = x.astype(cal_cfg.dtype)
+        batch, length, _ = x.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((batch, length), jnp.int32)
+        pos_bias = compute_position_bias(
+            enc["rel_bias"], length, length, bidirectional=True, cfg=cal_cfg
+        )
+        mask_bias = jnp.where(
+            attention_mask[:, None, None, :] > 0, 0.0, NEG_INF
+        ).astype(jnp.float32)
+        bias = pos_bias + mask_bias
+        valid = (attention_mask > 0).astype(jnp.float32)[:, :, None]
+
+        def layer(carry, layer_p):
+            y = carry
+            attn_in = rms_norm(y, layer_p["ln0"], cal_cfg.layer_norm_epsilon)
+            a_amax = jnp.max(jnp.abs(attn_in.astype(jnp.float32)) * valid,
+                             axis=(0, 1))
+            y = y + _attn_block(layer_p["self_attn"], attn_in, attn_in,
+                                bias, cal_cfg)
+            ffn_in = rms_norm(y, layer_p["ln1"], cal_cfg.layer_norm_epsilon)
+            f_amax = jnp.max(jnp.abs(ffn_in.astype(jnp.float32)) * valid,
+                             axis=(0, 1))
+            y = y + _ffn_block(layer_p["ffn"], ffn_in, cal_cfg)
+            return y, (a_amax, f_amax)
+
+        stacked = {
+            "self_attn": enc["self_attn"], "ffn": enc["ffn"],
+            "ln0": enc["ln0"], "ln1": enc["ln1"],
+        }
+        _, (a_amax, f_amax) = jax.lax.scan(layer, x, stacked)
+        cur = {"attn": np.asarray(a_amax, np.float32),
+               "ffn": np.asarray(f_amax, np.float32)}
+        out = cur if out is None else {
+            k: np.maximum(out[k], cur[k]) for k in out
+        }
+    if out is None:
+        raise ValueError("calibrate_encoder_act_max needs >= 1 batch")
     return out
 
 
@@ -448,7 +599,7 @@ def t5_encode(
 
                 a8 = layer_p["self_attn_q8"]
                 q, k, v = fused_t5_ln_qkv_q8(
-                    y, layer_p["ln0"],
+                    y, a8["ln"] if "ln" in a8 else layer_p["ln0"],
                     a8["q"], a8["q_s"], a8["k"], a8["k_s"],
                     a8["v"], a8["v_s"], eps=cfg.layer_norm_epsilon,
                 )

@@ -1439,16 +1439,51 @@ def fused_attention_block(
 # int8 T5 encoder FFN (round 3): the opt-in bulk-eval throughput lever
 # ---------------------------------------------------------------------------
 
+def _group_quant_rows_i8(h: jax.Array, groups: int) -> list:
+    """Per-(row, contraction-group) symmetric int8 quantization of an
+    fp32 (rows, K) tile: K is split into ``groups`` static lane slices,
+    each with its own per-row scale, so one outlier channel only costs
+    resolution within its own group instead of the whole row. Returns
+    [(int8 (rows, K/groups), f32 (rows, 1)) per group]; groups=1
+    degenerates to _row_quant_i8."""
+    kg = h.shape[-1] // groups
+    return [_row_quant_i8(h[:, g * kg:(g + 1) * kg]) for g in range(groups)]
+
+
+def _mm_q8_grouped(parts: list, w_ref, s_ref) -> jax.Array:
+    """sum_g (hq_g @ W_g) * hs_g * s_g — the int8 matmul accumulated per
+    contraction group in fp32. ``w_ref`` is the int8 (K, F) weight block,
+    ``s_ref`` its f32 (G, F) per-(group, output-channel) dequant scales;
+    the per-group int8 dots still run at the full MXU int8 rate (same
+    total contraction depth), the extra cost is G-1 fp32 (rows, F) adds
+    on the VPU."""
+    groups = len(parts)
+    kg = parts[0][0].shape[-1]
+    acc = None
+    for g, (hq, hs) in enumerate(parts):
+        p = jax.lax.dot_general(
+            hq, w_ref[g * kg:(g + 1) * kg, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        t = p.astype(jnp.float32) * hs * s_ref[g, :].astype(jnp.float32)
+        acc = t if acc is None else acc + t
+    return acc
+
+
 def _make_t5_ffn_q8_kernel(group: int, seq: int, d_model: int, d_ff: int,
-                           gated: bool, eps: float, out_dtype):
+                           gated: bool, eps: float, out_dtype,
+                           g_in: int, g_hid: int):
     """int8 twin of _make_t5_ffn_kernel: all two/three FFN matmuls run
     int8 on the MXU (measured 366 TOPS = 1.92x the bf16 rate on v5e).
     The per-row activation-quant passes stay in VMEM — in XLA they
     round-trip the (B, L, F) hidden through HBM and the win vanishes
     (measured neutral at ViT-L MLP shapes, PARITY.md). Weights are
-    pre-quantized per output channel (host-side, once — the LM is
-    frozen); int8 also HALVES the VMEM-resident weight footprint vs
-    the bf16 fused kernel (~63 -> ~31 MB at T0-3B widths).
+    pre-quantized per (contraction-group, output-channel) — host-side,
+    once, the LM is frozen; g_in/g_hid contraction groups (from the
+    scale shapes) bound the blast radius of outlier channels on the
+    per-row activation scales. int8 also HALVES the VMEM-resident
+    weight footprint vs the bf16 fused kernel (~63 -> ~31 MB at T0-3B
+    widths).
 
     Inference-only (no VJP): the eval path's frozen LM never needs
     gradients; training keeps the bf16 paths."""
@@ -1465,38 +1500,29 @@ def _make_t5_ffn_q8_kernel(group: int, seq: int, d_model: int, d_ff: int,
         # T5 RMS norm (no mean subtraction, scale only), fp32
         var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
         h = x32 * jax.lax.rsqrt(var + eps) * lnw_ref[:].astype(jnp.float32)
-        hq, hs = _row_quant_i8(h)              # one quant, used by wi_0+wi_1
-        acc = jax.lax.dot_general(
-            hq, w0_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        hid = acc.astype(jnp.float32) * hs * s0_ref[:].astype(jnp.float32)
-        hid = _tanh_gelu(hid)                  # HF gelu_new, fp32
+        parts = _group_quant_rows_i8(h, g_in)  # one quant, used by wi_0+wi_1
+        hid = _tanh_gelu(_mm_q8_grouped(parts, w0_ref, s0_ref))
         if gated:
-            acc1 = jax.lax.dot_general(
-                hq, w1_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            hid = hid * (acc1.astype(jnp.float32) * hs
-                         * s1_ref[:].astype(jnp.float32))
-        gq, gs = _row_quant_i8(hid)
-        acc2 = jax.lax.dot_general(
-            gq, wo_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        y = acc2.astype(jnp.float32) * gs * so_ref[:].astype(jnp.float32)
+            hid = hid * _mm_q8_grouped(parts, w1_ref, s1_ref)
+        gparts = _group_quant_rows_i8(hid, g_hid)
+        y = _mm_q8_grouped(gparts, wo_ref, so_ref)
         o_ref[:] = (x32 + y).reshape(group, seq, d_model).astype(out_dtype)
 
     return kernel
+
+
+def _as_group_scales(s: jax.Array) -> jax.Array:
+    """Accept legacy per-output-channel (F,) scales as 1 group."""
+    return s.reshape(1, -1) if s.ndim == 1 else s
 
 
 @functools.partial(jax.jit, static_argnames=("group", "eps", "interpret"))
 def fused_t5_ffn_q8(
     x: jax.Array,                # (B, L, D) — PRE-NORM residual stream
     ln_weight: jax.Array,        # (D,) RMS-norm scale
-    wi_0: jax.Array, s_0: jax.Array,            # int8 (D, F) + f32 (F,)
+    wi_0: jax.Array, s_0: jax.Array,     # int8 (D, F) + f32 (G, F) scales
     wi_1: Optional[jax.Array], s_1: Optional[jax.Array],  # gate or None
-    wo: jax.Array, s_o: jax.Array,              # int8 (F, D) + f32 (D,)
+    wo: jax.Array, s_o: jax.Array,       # int8 (F, D) + f32 (G', D)
     group: int = 1,
     eps: float = 1e-6,
     interpret: Optional[bool] = None,
@@ -1505,29 +1531,43 @@ def fused_t5_ffn_q8(
     opt-in throughput mode for the FROZEN T0-3B encoder during bulk
     eval (the FFN is ~60% of encoder FLOPs; reference frozen-LM eval:
     /root/reference/src/models/vct0.py:396-491). Same scoped-VMEM note
-    as fused_t5_ffn; int8 halves the resident-weight footprint."""
+    as fused_t5_ffn; int8 halves the resident-weight footprint.
+
+    Scales may be (F,) (legacy, one scale over the full contraction) or
+    (G, F) for G contraction groups (quantize_encoder_ffn's grouped
+    scheme — reduces quantization drift at ~no cost; G must divide the
+    contraction dim and wi_0/wi_1 must share G)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     batch, seq, d_model = x.shape
     assert batch % group == 0, (batch, group)
     d_ff = wi_0.shape[1]
     gated = wi_1 is not None
+    s_0 = _as_group_scales(s_0)
+    s_o = _as_group_scales(s_o)
+    g_in, g_hid = s_0.shape[0], s_o.shape[0]
+    assert d_model % g_in == 0 and d_ff % g_hid == 0, (g_in, g_hid)
     xspec = pl.BlockSpec((group, seq, d_model), lambda i: (i, 0, 0))
     dvec = pl.BlockSpec((d_model,), lambda i: (0,))
-    fvec = pl.BlockSpec((d_ff,), lambda i: (0,))
+    fsc = pl.BlockSpec((g_in, d_ff), lambda i: (0, 0))
     in_specs = [
         xspec, dvec,
-        pl.BlockSpec((d_model, d_ff), lambda i: (0, 0)), fvec,
+        pl.BlockSpec((d_model, d_ff), lambda i: (0, 0)), fsc,
     ]
     args = [x, ln_weight, wi_0, s_0]
     if gated:
-        in_specs += [pl.BlockSpec((d_model, d_ff), lambda i: (0, 0)), fvec]
+        s_1 = _as_group_scales(s_1)
+        assert s_1.shape[0] == g_in, (s_1.shape, g_in)
+        in_specs += [pl.BlockSpec((d_model, d_ff), lambda i: (0, 0)), fsc]
         args += [wi_1, s_1]
-    in_specs += [pl.BlockSpec((d_ff, d_model), lambda i: (0, 0)), dvec]
+    in_specs += [
+        pl.BlockSpec((d_ff, d_model), lambda i: (0, 0)),
+        pl.BlockSpec((g_hid, d_model), lambda i: (0, 0)),
+    ]
     args += [wo, s_o]
     return pl.pallas_call(
         _make_t5_ffn_q8_kernel(group, seq, d_model, d_ff, gated, eps,
-                               x.dtype),
+                               x.dtype, g_in, g_hid),
         grid=(batch // group,),
         in_specs=in_specs,
         out_specs=xspec,
@@ -1545,7 +1585,8 @@ def fused_t5_ffn_q8(
 # ---------------------------------------------------------------------------
 
 def _make_t5_ln_qkv_q8_kernel(group: int, seq: int, d_model: int,
-                              inner: int, eps: float, out_dtype):
+                              inner: int, eps: float, out_dtype,
+                              g_in: int):
     gl = group * seq
 
     def kernel(x_ref, lnw_ref, wq_ref, sq_ref, wk_ref, sk_ref,
@@ -1553,15 +1594,11 @@ def _make_t5_ln_qkv_q8_kernel(group: int, seq: int, d_model: int,
         x32 = x_ref[:].reshape(gl, d_model).astype(jnp.float32)
         var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
         h = x32 * jax.lax.rsqrt(var + eps) * lnw_ref[:].astype(jnp.float32)
-        hq, hs = _row_quant_i8(h)           # one quant feeds all three
+        parts = _group_quant_rows_i8(h, g_in)   # one quant feeds all three
         for w_ref, s_ref, o_ref in ((wq_ref, sq_ref, q_ref),
                                     (wk_ref, sk_ref, k_ref),
                                     (wv_ref, sv_ref, v_ref)):
-            acc = jax.lax.dot_general(
-                hq, w_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            out = acc.astype(jnp.float32) * hs * s_ref[:].astype(jnp.float32)
+            out = _mm_q8_grouped(parts, w_ref, s_ref)
             o_ref[:] = out.reshape(group, seq, inner).astype(out_dtype)
 
     return kernel
@@ -1571,7 +1608,7 @@ def _make_t5_ln_qkv_q8_kernel(group: int, seq: int, d_model: int,
 def fused_t5_ln_qkv_q8(
     x: jax.Array,            # (B, L, D) — PRE-NORM residual stream
     ln_weight: jax.Array,    # (D,) RMS-norm scale
-    wq: jax.Array, sq: jax.Array,   # int8 (D, inner) + f32 (inner,)
+    wq: jax.Array, sq: jax.Array,   # int8 (D, inner) + f32 (G, inner)
     wk: jax.Array, sk: jax.Array,
     wv: jax.Array, sv: jax.Array,
     group: int = 1,
@@ -1581,24 +1618,31 @@ def fused_t5_ln_qkv_q8(
     """RMS-norm + the three T5 attention input projections, every matmul
     int8 on the MXU (T5 has no attention biases or query scaling).
     Returns (q, k, v) shaped (B, L, inner) in x.dtype, ready for
-    t5_attention_core. Opt-in with cfg.int8_encoder_attn; inference-only."""
+    t5_attention_core. Opt-in with cfg.int8_encoder_attn; inference-only.
+    Scales may be (inner,) or (G, inner) contraction groups (all three
+    must share G)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     batch, seq, d_model = x.shape
     assert batch % group == 0, (batch, group)
     inner = wq.shape[1]
+    sq, sk, sv = (_as_group_scales(s) for s in (sq, sk, sv))
+    g_in = sq.shape[0]
+    assert sk.shape[0] == g_in and sv.shape[0] == g_in, (g_in, sk.shape,
+                                                         sv.shape)
+    assert d_model % g_in == 0, (d_model, g_in)
     xspec = pl.BlockSpec((group, seq, d_model), lambda i: (i, 0, 0))
     ospec = pl.BlockSpec((group, seq, inner), lambda i: (i, 0, 0))
     mat = pl.BlockSpec((d_model, inner), lambda i: (0, 0))
-    ivec = pl.BlockSpec((inner,), lambda i: (0,))
+    isc = pl.BlockSpec((g_in, inner), lambda i: (0, 0))
     out_sds = jax.ShapeDtypeStruct((batch, seq, inner), x.dtype)
     return pl.pallas_call(
         _make_t5_ln_qkv_q8_kernel(group, seq, d_model, inner,
-                                  eps, x.dtype),
+                                  eps, x.dtype, g_in),
         grid=(batch // group,),
         in_specs=[
             xspec, pl.BlockSpec((d_model,), lambda i: (0,)),
-            mat, ivec, mat, ivec, mat, ivec,
+            mat, isc, mat, isc, mat, isc,
         ],
         out_specs=(ospec, ospec, ospec),
         out_shape=(out_sds, out_sds, out_sds),
@@ -1607,17 +1651,13 @@ def fused_t5_ln_qkv_q8(
 
 
 def _make_oproj_residual_q8_kernel(group: int, seq: int, inner: int,
-                                   d_model: int, out_dtype):
+                                   d_model: int, out_dtype, g_in: int):
     gl = group * seq
 
     def kernel(res_ref, attn_ref, wo_ref, so_ref, o_ref):
         a32 = attn_ref[:].reshape(gl, inner).astype(jnp.float32)
-        aq, ascale = _row_quant_i8(a32)
-        acc = jax.lax.dot_general(
-            aq, wo_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        y = acc.astype(jnp.float32) * ascale * so_ref[:].astype(jnp.float32)
+        parts = _group_quant_rows_i8(a32, g_in)
+        y = _mm_q8_grouped(parts, wo_ref, so_ref)
         res = res_ref[:].reshape(gl, d_model).astype(jnp.float32)
         o_ref[:] = (res + y).reshape(group, seq, d_model).astype(out_dtype)
 
@@ -1628,27 +1668,31 @@ def _make_oproj_residual_q8_kernel(group: int, seq: int, inner: int,
 def fused_oproj_residual_q8(
     residual: jax.Array,     # (B, L, D) — the pre-attention stream
     attn: jax.Array,         # (B, L, inner) — attention core output
-    wo: jax.Array, so: jax.Array,   # int8 (inner, D) + f32 (D,)
+    wo: jax.Array, so: jax.Array,   # int8 (inner, D) + f32 (G, D)
     group: int = 1,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """residual + attn @ Wo with the matmul int8 on the MXU (the per-row
-    activation quant stays in VMEM). Partner of fused_t5_ln_qkv_q8."""
+    activation quant stays in VMEM). Partner of fused_t5_ln_qkv_q8.
+    Scales may be (D,) or (G, D) contraction groups."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     batch, seq, inner = attn.shape
     assert batch % group == 0, (batch, group)
     d_model = wo.shape[1]
+    so = _as_group_scales(so)
+    g_in = so.shape[0]
+    assert inner % g_in == 0, (inner, g_in)
     rspec = pl.BlockSpec((group, seq, d_model), lambda i: (i, 0, 0))
     aspec = pl.BlockSpec((group, seq, inner), lambda i: (i, 0, 0))
     return pl.pallas_call(
         _make_oproj_residual_q8_kernel(group, seq, inner, d_model,
-                                       residual.dtype),
+                                       residual.dtype, g_in),
         grid=(batch // group,),
         in_specs=[
             rspec, aspec,
             pl.BlockSpec((inner, d_model), lambda i: (0, 0)),
-            pl.BlockSpec((d_model,), lambda i: (0,)),
+            pl.BlockSpec((g_in, d_model), lambda i: (0, 0)),
         ],
         out_specs=rspec,
         out_shape=jax.ShapeDtypeStruct((batch, seq, d_model),

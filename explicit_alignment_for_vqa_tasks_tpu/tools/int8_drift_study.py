@@ -11,23 +11,45 @@ answer-level disagreement). Baseline is the PRODUCTION bf16 path — the
 question this answers is "what does turning the int8 modes on change",
 not "int8 vs fp32".
 
+Three quantization schemes are compared head-to-head:
+  * per_channel — one scale over the full contraction dim (round-3
+    initial scheme);
+  * grouped     — per-(contraction-group, output-channel) weight scales
+    + per-(row, group) activation scales (8 groups at aligned widths);
+  * grouped+smooth — grouped plus SmoothQuant folding of calibrated
+    activation maxima into the frozen weights (calibrated on the study
+    inputs themselves; see models/t5.py::calibrate_encoder_act_max).
+
+`--mode outlier` re-runs the comparison on a model whose RMS-norm
+scales carry heavy-tailed per-channel factors — the activation-outlier
+structure trained transformers actually show (and the case SmoothQuant
+exists for). Random init has no outliers, so the `normal` mode mostly
+measures rounding noise; the `outlier` mode is the realistic stress.
+
 Random-init caveat (same as the bf16 study): trained weights have larger
 logit margins than random init, so trained-weight agreement is expected
 to be strictly better than reported here.
 
 Run (chip or CPU):
-    python -m explicit_alignment_for_vqa_tasks_tpu.tools.int8_drift_study
+    python -m explicit_alignment_for_vqa_tasks_tpu.tools.int8_drift_study \
+        [--mode normal|outlier|both]
 Emits one JSON line; paste the summary into PARITY.md.
 """
 
 from __future__ import annotations
 
+import argparse
 import dataclasses
 import json
 import sys
 
 
 def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--mode", choices=("normal", "outlier", "both"),
+                        default="both")
+    args = parser.parse_args()
+
     from ..utils.tpu_flags import ensure_scoped_vmem_limit
 
     ensure_scoped_vmem_limit(98304)
@@ -38,6 +60,7 @@ def main() -> None:
 
     from ..models.t5 import (
         T5Config,
+        calibrate_encoder_act_max,
         init_t5_params,
         quantize_encoder_attn,
         quantize_encoder_ffn,
@@ -58,28 +81,10 @@ def main() -> None:
         cfg_bf, int8_encoder_ffn=True, int8_encoder_attn=True
     )
 
-    print("initializing t5-large-shaped params...", file=sys.stderr)
-    params = init_t5_params(jax.random.PRNGKey(0), cfg_bf, jnp.bfloat16)
-    params_q8 = quantize_encoder_attn(quantize_encoder_ffn(params))
-
     rng = np.random.default_rng(0)
     batch, length, max_new = 16, 64, 20
     ids = jnp.asarray(rng.integers(2, 32000, (batch, length)), jnp.int32)
     mask = jnp.ones((batch, length), jnp.int32)
-
-    # ---- encoder drift by depth ----
-    print("encoder drift by depth...", file=sys.stderr)
-    _, per_layer_bf = t5_encode(params, cfg_bf, input_ids=ids,
-                                attention_mask=mask, collect_hiddens=True)
-    _, per_layer_q8 = t5_encode(params_q8, cfg_q8, input_ids=ids,
-                                attention_mask=mask, collect_hiddens=True)
-    layer_rel = []
-    for a, b in zip(np.asarray(per_layer_bf, np.float32),
-                    np.asarray(per_layer_q8, np.float32)):
-        layer_rel.append(float(np.linalg.norm(b - a) / np.linalg.norm(a)))
-
-    # ---- drift through the fed-back greedy decode ----
-    print("greedy decode bf16 vs int8-encoder...", file=sys.stderr)
 
     def decode(p, cfg):
         hidden = t5_encode(p, cfg, input_ids=ids, attention_mask=mask)
@@ -87,45 +92,90 @@ def main() -> None:
                                        max_new_tokens=max_new)
         return np.asarray(tokens), np.asarray(lps, dtype=np.float32)
 
-    tok_bf, lp_bf = decode(params, cfg_bf)
-    tok_q8, lp_q8 = decode(params_q8, cfg_q8)
-    same = tok_bf == tok_q8
-    first_flip = np.where(
-        same.all(axis=1), max_new, (~same).argmax(axis=1)
-    )
-    per_step_flip = []
-    for t in range(max_new):
-        rows = first_flip >= t
-        if rows.sum() == 0:
-            per_step_flip.append(None)
-            continue
-        per_step_flip.append(
-            round(float((tok_bf[rows, t] != tok_q8[rows, t]).mean()), 4)
-        )
-    on_track = np.arange(max_new)[None, :] <= first_flip[:, None]
-    lp_diff = np.abs(lp_bf - lp_q8)[on_track & same]
+    def run_mode(mode_name: str) -> dict:
+        print(f"== {mode_name}: initializing params ==", file=sys.stderr)
+        params = init_t5_params(jax.random.PRNGKey(0), cfg_bf, jnp.bfloat16)
+        if mode_name == "outlier":
+            # Heavy-tailed per-channel norm scales: the mechanism by
+            # which trained transformers produce activation-outlier
+            # channels at the quantized matmul inputs. Log-normal body
+            # plus a few hard outliers per norm.
+            orng = np.random.default_rng(7)
+            enc = dict(params["encoder"])
+            for ln_name in ("ln0", "ln1"):
+                w = np.asarray(enc[ln_name], np.float32)
+                fac = np.exp(orng.normal(0.0, 0.6, size=w.shape))
+                for li in range(w.shape[0]):
+                    hot = orng.choice(w.shape[1], size=4, replace=False)
+                    fac[li, hot] *= orng.uniform(10.0, 30.0, size=4)
+                enc[ln_name] = jnp.asarray(w * fac, jnp.float32).astype(
+                    params["encoder"][ln_name].dtype)
+            params = dict(params)
+            params["encoder"] = enc
 
-    out = {
+        print("calibrating activation maxima...", file=sys.stderr)
+        stats = calibrate_encoder_act_max(params, cfg_bf, [(ids, mask)])
+
+        variants = {
+            "per_channel": quantize_encoder_attn(
+                quantize_encoder_ffn(params, groups=1), groups=1),
+            "grouped": quantize_encoder_attn(
+                quantize_encoder_ffn(params), ),
+            "grouped_smooth": quantize_encoder_attn(
+                quantize_encoder_ffn(params, act_max=stats["ffn"]),
+                act_max=stats["attn"]),
+        }
+
+        print("bf16 baseline encode+decode...", file=sys.stderr)
+        _, per_layer_bf = t5_encode(params, cfg_bf, input_ids=ids,
+                                    attention_mask=mask,
+                                    collect_hiddens=True)
+        per_layer_bf = np.asarray(per_layer_bf, np.float32)
+        tok_bf, lp_bf = decode(params, cfg_bf)
+
+        out = {}
+        for name, params_q8 in variants.items():
+            print(f"variant {name}...", file=sys.stderr)
+            _, per_layer_q8 = t5_encode(params_q8, cfg_q8, input_ids=ids,
+                                        attention_mask=mask,
+                                        collect_hiddens=True)
+            layer_rel = []
+            for a, b in zip(per_layer_bf,
+                            np.asarray(per_layer_q8, np.float32)):
+                layer_rel.append(
+                    float(np.linalg.norm(b - a) / np.linalg.norm(a)))
+
+            tok_q8, lp_q8 = decode(params_q8, cfg_q8)
+            same = tok_bf == tok_q8
+            first_flip = np.where(
+                same.all(axis=1), max_new, (~same).argmax(axis=1)
+            )
+            on_track = np.arange(max_new)[None, :] <= first_flip[:, None]
+            lp_diff = np.abs(lp_bf - lp_q8)[on_track & same]
+            out[name] = {
+                "first_layer_rel_error": round(layer_rel[0], 5),
+                "last_layer_rel_error": round(layer_rel[-1], 5),
+                "growth_factor": round(
+                    layer_rel[-1] / max(layer_rel[0], 1e-9), 2),
+                "full_sequence_match_rate": round(
+                    float(same.all(axis=1).mean()), 4),
+                "mean_first_flip_step": round(float(first_flip.mean()), 2),
+                "on_trajectory_logprob_mean_abs_diff": round(
+                    float(lp_diff.mean()) if lp_diff.size else 0.0, 5),
+            }
+        return out
+
+    result = {
         "metric": "int8_encoder_drift_vs_bf16_t5_large_random",
         "modes": ["int8_encoder_ffn", "int8_encoder_attn"],
-        "per_layer_rel_error": [round(x, 5) for x in layer_rel],
-        "first_layer_rel_error": round(layer_rel[0], 5),
-        "last_layer_rel_error": round(layer_rel[-1], 5),
-        "growth_factor": round(layer_rel[-1] / max(layer_rel[0], 1e-9), 2),
         "shapes": {"batch": batch, "enc_len": length, "layers": 24,
-                   "d_model": 1024},
-        "greedy_decode": {
-            "max_new_tokens": max_new,
-            "full_sequence_match_rate": round(
-                float(same.all(axis=1).mean()), 4),
-            "per_step_flip_rate_on_trajectory": per_step_flip,
-            "mean_first_flip_step": round(float(first_flip.mean()), 2),
-            "on_trajectory_logprob_mean_abs_diff": round(
-                float(lp_diff.mean()) if lp_diff.size else 0.0, 5
-            ),
-        },
+                   "d_model": 1024, "max_new_tokens": max_new},
     }
-    print(json.dumps(out))
+    if args.mode in ("normal", "both"):
+        result["normal"] = run_mode("normal")
+    if args.mode in ("outlier", "both"):
+        result["outlier"] = run_mode("outlier")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -97,6 +97,202 @@ class TestKernel:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_grouped_scales_match_dequantized_math(self):
+        """(G, F) contraction-group scales: kernel parity against the
+        fp32 math on the per-group-dequantized weights."""
+        from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (
+            _quant_stacked_i8,
+        )
+
+        d, f, b, l, eps, g = 64, 128, 2, 16, 1e-6, 4
+        ks = iter(jax.random.split(jax.random.PRNGKey(7), 8))
+        x = jax.random.normal(next(ks), (b, l, d), dtype=jnp.float32)
+        lnw = 1.0 + 0.1 * jax.random.normal(next(ks), (d,))
+        wi_0 = np.asarray(jax.random.normal(next(ks), (d, f))) * d ** -0.5
+        wo = np.asarray(jax.random.normal(next(ks), (f, d))) * f ** -0.5
+        q0, s0 = _quant_stacked_i8(wi_0[None], g)
+        qo, so = _quant_stacked_i8(wo[None], g)
+        out = fused_t5_ffn_q8(
+            x, lnw, jnp.asarray(q0[0]), jnp.asarray(s0[0]), None, None,
+            jnp.asarray(qo[0]), jnp.asarray(so[0]), eps=eps,
+        )
+
+        def deq(q, s):  # (K, F) int8 + (G, F) -> fp32
+            k = q.shape[0]
+            kg = k // s.shape[0]
+            return (q.reshape(s.shape[0], kg, q.shape[1]).astype(np.float32)
+                    * s[:, None, :]).reshape(k, q.shape[1])
+
+        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+        h = x * jax.lax.rsqrt(var + eps) * lnw
+        hid = h @ deq(q0[0], s0[0])
+        hid = 0.5 * hid * (1.0 + jnp.tanh(
+            np.sqrt(2.0 / np.pi) * (hid + 0.044715 * hid ** 3)))
+        want = x + hid @ deq(qo[0], so[0])
+        assert _cos(out, want) > 0.999
+
+    def test_grouped_quant_tames_outlier_channels(self):
+        """One huge input channel poisons a whole-row activation scale;
+        contraction groups confine it. Grouped weight+activation quant
+        must recover most of the error on an outlier-heavy input."""
+        from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (
+            _quant_stacked_i8,
+        )
+
+        d, f, b, l, eps = 64, 128, 2, 16, 1e-6
+        ks = iter(jax.random.split(jax.random.PRNGKey(9), 8))
+        x = jax.random.normal(next(ks), (b, l, d), dtype=jnp.float32)
+        lnw = jnp.ones((d,)).at[3].set(60.0)  # outlier channel via norm
+        wi_0 = np.asarray(jax.random.normal(next(ks), (d, f))) * d ** -0.5
+        wo = np.asarray(jax.random.normal(next(ks), (f, d))) * f ** -0.5
+
+        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+        h = x * jax.lax.rsqrt(var + eps) * lnw
+        hid = h @ wi_0
+        hid = 0.5 * hid * (1.0 + jnp.tanh(
+            np.sqrt(2.0 / np.pi) * (hid + 0.044715 * hid ** 3)))
+        exact = x + hid @ wo
+
+        errs = {}
+        for g in (1, 8):
+            q0, s0 = _quant_stacked_i8(wi_0[None], g)
+            qo, so = _quant_stacked_i8(wo[None], 1)
+            out = fused_t5_ffn_q8(
+                x, lnw, jnp.asarray(q0[0]), jnp.asarray(s0[0]), None, None,
+                jnp.asarray(qo[0]), jnp.asarray(so[0]), eps=eps,
+            )
+            errs[g] = float(jnp.linalg.norm(out - exact)
+                            / jnp.linalg.norm(exact))
+        assert errs[8] < 0.6 * errs[1], errs
+
+
+class TestGroupsAndSmoothQuant:
+    def test_pick_groups(self):
+        from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (
+            _pick_groups,
+        )
+
+        assert _pick_groups(2048, "auto") == 8    # T0-3B d_model
+        assert _pick_groups(5120, "auto") == 8    # T0-3B d_ff
+        assert _pick_groups(2816, "auto") == 2    # t5-large d_ff (22*128)
+        assert _pick_groups(64, "auto") == 1      # unaligned -> 1 group
+        assert _pick_groups(64, 4) == 4           # explicit bypasses align
+        with pytest.raises(ValueError):
+            _pick_groups(64, 5)
+
+    def _cfg(self, **kw):
+        return T5Config.small_test(
+            d_model=64, d_ff=128, num_heads=4, d_kv=16,
+            num_encoder_layers=3, num_decoder_layers=2,
+            fused_encoder_attention=True, **kw
+        )
+
+    def test_grouped_model_parity(self):
+        from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (
+            quantize_encoder_attn,
+        )
+
+        cfg = self._cfg()
+        params = init_t5_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 24), 0, 2000)
+        mask = (ids % 7 != 0).astype(jnp.int32)
+        ref = t5_encode(params, cfg, input_ids=ids, attention_mask=mask)
+        pq = quantize_encoder_attn(
+            quantize_encoder_ffn(params, groups=4), groups=4)
+        out = t5_encode(
+            pq, self._cfg(int8_encoder_ffn=True, int8_encoder_attn=True),
+            input_ids=ids, attention_mask=mask,
+        )
+        assert _cos(out, ref) > 0.995
+        assert pq["encoder"]["ffn_q8"]["wi_0_s"].shape[1] == 4
+        assert pq["encoder"]["self_attn_q8"]["q_s"].shape[1] == 4
+
+    def test_calibration_shapes_and_mask(self):
+        from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (
+            calibrate_encoder_act_max,
+        )
+
+        cfg = self._cfg()
+        params = init_t5_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 2000)
+        mask = jnp.ones((2, 16), jnp.int32).at[:, 8:].set(0)
+        stats = calibrate_encoder_act_max(params, cfg, [(ids, mask)])
+        assert stats["attn"].shape == (3, 64)
+        assert stats["ffn"].shape == (3, 64)
+        assert (stats["attn"] > 0).all() and (stats["ffn"] > 0).all()
+
+        # masked (padded) positions must not contribute: giving them a
+        # huge embedding must not move the recorded activation maxima
+        embeds = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(2), (2, 16, 64)),
+            np.float32)
+        base = calibrate_encoder_act_max(
+            params, cfg, [(jnp.asarray(embeds), mask)])
+        spiked = embeds.copy()
+        spiked[:, 8:, :] *= 1e3   # only padded positions
+        got = calibrate_encoder_act_max(
+            params, cfg, [(jnp.asarray(spiked), mask)])
+        np.testing.assert_allclose(got["attn"], base["attn"], rtol=1e-5)
+        np.testing.assert_allclose(got["ffn"], base["ffn"], rtol=1e-5)
+
+        # multi-batch = elementwise running max
+        ids2 = jax.random.randint(jax.random.PRNGKey(3), (2, 16), 0, 2000)
+        both = calibrate_encoder_act_max(
+            params, cfg, [(ids, mask), (ids2, None)])
+        solo2 = calibrate_encoder_act_max(params, cfg, [(ids2, None)])
+        np.testing.assert_allclose(
+            both["ffn"], np.maximum(stats["ffn"], solo2["ffn"]), rtol=1e-5)
+
+    def test_smoothquant_reduces_outlier_drift(self):
+        """With an outlier channel in the norm scale (the structure real
+        trained transformers show), SmoothQuant folding must beat plain
+        per-channel quantization — and stay exact for the bf16 math."""
+        from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (
+            calibrate_encoder_act_max,
+        )
+
+        cfg = self._cfg()
+        params = init_t5_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        # outlier channels via the FFN norm scales (per layer)
+        ln1 = np.asarray(params["encoder"]["ln1"], np.float32).copy()
+        ln1[:, 5] *= 40.0
+        ln1[:, 17] *= 25.0
+        params["encoder"]["ln1"] = jnp.asarray(ln1)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 24), 0, 2000)
+        ref = t5_encode(params, cfg, input_ids=ids)
+
+        stats = calibrate_encoder_act_max(params, cfg, [(ids, None)])
+        cfg_q = self._cfg(int8_encoder_ffn=True)
+
+        def drift(pq):
+            out = t5_encode(pq, cfg_q, input_ids=ids)
+            return float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+
+        plain = drift(quantize_encoder_ffn(params, groups=1))
+        smooth = drift(quantize_encoder_ffn(params, groups=1,
+                                            act_max=stats["ffn"]))
+        assert smooth < 0.7 * plain, (plain, smooth)
+
+    def test_smoothquant_fold_is_exact_in_fp32(self):
+        """Folding s into (ln, rows) is algebraically exact: the smoothed
+        DEQUANTIZED model at very fine quantization must match the plain
+        encoder closely (the only error left is int8 rounding)."""
+        from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (
+            _smooth_factors,
+        )
+
+        rng = np.random.default_rng(0)
+        l_dim, d, f = 2, 16, 24
+        w = rng.normal(size=(l_dim, d, f)).astype(np.float32)
+        act = rng.uniform(0.5, 2.0, size=(l_dim, d)).astype(np.float32)
+        s = _smooth_factors(act, [w], 0.5)
+        ln = rng.normal(size=(l_dim, d)).astype(np.float32)
+        x = rng.normal(size=(l_dim, 8, d)).astype(np.float32)
+        for li in range(l_dim):
+            a = (x[li] * ln[li]) @ w[li]
+            b = (x[li] * (ln[li] / s[li])) @ (w[li] * s[li][:, None])
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
 
 class TestModel:
     def _cfg(self, **kw):
