@@ -515,6 +515,83 @@ class VCT0Model:
                         token_logprobs: jax.Array) -> jax.Array:
         return _decoding.sequence_scores(tokens, token_logprobs)
 
+    # --- int8 SmoothQuant calibration (deferred quantization) ---------
+    def encoder_calibration_batch(
+        self,
+        prefix: Optional[jax.Array] = None,
+        question_tokens: Optional[jax.Array] = None,
+        question_mask: Optional[jax.Array] = None,
+        no_prefix: bool = False,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """The spliced encoder inputs (embeds, mask) for one eval batch —
+        the calibration surface for SmoothQuant int8 quantization. Covers
+        the main spliced path (reference: vct0.py:446-464) and no_prefix;
+        the exotic modes calibrate via models.t5.calibrate_encoder_act_max
+        directly."""
+        lm_params, mapper_params = self.params["lm"], self.params["mapper"]
+        if no_prefix or prefix is None:
+            emb = t5_lib.embed_tokens(lm_params, self.cfg.lm,
+                                      question_tokens)
+            return emb, question_mask
+        if question_tokens.ndim != 2:
+            raise ValueError(
+                "int8 calibration supports the main spliced eval path "
+                "(2-D question tokens); for one-at-a-time/ensemble modes "
+                "calibrate via models.t5.calibrate_encoder_act_max"
+            )
+        text_embeds = t5_lib.embed_tokens(lm_params, self.cfg.lm,
+                                          question_tokens)
+        prefix_proj = project_prefix(self.cfg, mapper_params, prefix)
+        joint, joint_mask = insert_prefix_into_input(
+            question_tokens, text_embeds,
+            prefix_proj.astype(text_embeds.dtype), question_mask,
+            prefix_length=self.cfg.prefix_length,
+            num_prefixes=prefix.shape[1], base_id=self.cfg.sentinel_base,
+        )
+        return joint, joint_mask
+
+    def calibrate_and_quantize_int8(self, batches, alpha: float = 0.5,
+                                    groups="auto") -> Dict[str, Any]:
+        """One-shot SmoothQuant calibration + int8 quantization of the
+        frozen LM encoder, deferred from build time so real eval batches
+        can supply the activation statistics (tpu.int8_calibrate_batches).
+
+        ``batches``: iterable of dicts accepted by
+        ``encoder_calibration_batch``. Returns the accumulated act-max
+        stats and swaps quantized LM params into ``self.params`` (the
+        executor re-places them on its mesh afterwards)."""
+        import numpy as np
+
+        lm_cfg = self.cfg.lm
+        if not (lm_cfg.int8_encoder_ffn or lm_cfg.int8_encoder_attn):
+            raise ValueError(
+                "calibrate_and_quantize_int8 needs an int8 encoder mode "
+                "enabled (tpu.int8_encoder_ffn / tpu.int8_encoder_attn)"
+            )
+        stats = None
+        for b in batches:
+            emb, m = self.encoder_calibration_batch(**b)
+            cur = t5_lib.calibrate_encoder_act_max(
+                self.params["lm"], lm_cfg, [(emb, m)]
+            )
+            stats = cur if stats is None else {
+                k: np.maximum(stats[k], cur[k]) for k in stats
+            }
+        if stats is None:
+            raise ValueError("int8 calibration needs >= 1 batch")
+        lm = self.params["lm"]
+        if lm_cfg.int8_encoder_ffn:
+            lm = t5_lib.quantize_encoder_ffn(
+                lm, groups=groups, act_max=stats["ffn"], alpha=alpha
+            )
+        if lm_cfg.int8_encoder_attn:
+            lm = t5_lib.quantize_encoder_attn(
+                lm, groups=groups, act_max=stats["attn"], alpha=alpha
+            )
+        self.params = dict(self.params)
+        self.params["lm"] = lm
+        return stats
+
 
 @MODELS.register("VCT0Model")
 def build_vct0_model(cfg: VCT0Config, params: Params) -> VCT0Model:

@@ -160,6 +160,39 @@ class BaseExecutor(MetricsProcessor):
             self.mesh, jax.tree.map(np.asarray, params)
         )
 
+    def _maybe_calibrate_int8(self) -> None:
+        """Deferred int8 quantization (tpu.int8_calibrate_batches > 0):
+        executors that can supply encoder calibration batches override
+        this (FewShotVQAExecutor). The base refuses loudly — a model
+        left pending would crash later with a confusing missing-ffn_q8
+        error inside jit."""
+        if getattr(getattr(self, "model", None),
+                   "pending_int8_calibration", None):
+            raise ValueError(
+                "tpu.int8_calibrate_batches is set but "
+                f"{type(self).__name__} has no int8 calibration support; "
+                "unset it (build-time quantization) or run the eval "
+                "through FewShotVQAExecutor"
+            )
+
+    def _reshard_lm(self) -> None:
+        """Re-place the LM params on the active mesh after they were
+        swapped out on host (deferred int8 quantization)."""
+        if self.mesh is None:
+            return
+        if getattr(self, "pipelined", False):
+            from ..parallel.pipeline import shard_lm_params_pp
+
+            self.model.params["lm"] = shard_lm_params_pp(
+                self.mesh, self.model.params["lm"]
+            )
+            return
+        from ..parallel.mesh import shard_lm_params
+
+        self.model.params["lm"] = shard_lm_params(
+            self.mesh, self.model.params["lm"]
+        )
+
     def _pipeline_unsupported_reason(self) -> Optional[str]:
         """Return a human-readable reason when this executor's configured
         modes cannot run under the pipelined (pipe > 1) mesh, or None.
@@ -324,6 +357,7 @@ class BaseExecutor(MetricsProcessor):
         standard PJRT runtimes dispatch is genuinely asynchronous, and
         equivalence with the serial loop is pinned by
         tests/test_e2e.py::TestEvalPipelining."""
+        self._maybe_calibrate_int8()
         outputs: List[Dict] = []
         dispatch = getattr(self, "_dispatch_generative", None)
         collect = getattr(self, "_collect_generative", None)

@@ -91,6 +91,47 @@ class FewShotVQAExecutor(BaseExecutor):
             return "int8 encoder modes have no pipelined encoder twin"
         return None
 
+    def _maybe_calibrate_int8(self) -> None:
+        """Deferred int8 quantization (tpu.int8_calibrate_batches > 0):
+        pull the first N eval batches, accumulate SmoothQuant activation
+        maxima on the spliced encoder inputs, then quantize the frozen
+        LM with the calibrated folding
+        (models/vct0.py::calibrate_and_quantize_int8). Runs once."""
+        pending = getattr(self.model, "pending_int8_calibration", None)
+        if not pending:
+            return
+        additional = self.config.data_loader.additional
+        if additional.get("pass_examples_through_encoder_one_at_a_time", 0) \
+                or bool(additional.get("ensemble_one_shots", 0)) \
+                or int(additional.get(
+                    "num_permutations_of_in_context_examples", 0)):
+            raise ValueError(
+                "tpu.int8_calibrate_batches supports the main/no_prefix "
+                "eval modes; for one-at-a-time/ensemble modes calibrate "
+                "via models.t5.calibrate_encoder_act_max and quantize "
+                "before building the executor"
+            )
+        no_prefix = bool(additional.get("no_prefix", 0))
+        n = int(pending["batches"])
+        feed = []
+        for idx, batch in enumerate(self.test_dataloader):
+            if idx >= n:
+                break
+            feed.append({
+                "prefix": jnp.asarray(batch.clip_embeddings),
+                "question_tokens": jnp.asarray(batch.generative_input_ids),
+                "question_mask": jnp.asarray(
+                    batch.generative_attention_mask),
+                "no_prefix": no_prefix,
+            })
+        logger.info(
+            "int8 SmoothQuant calibration on %d eval batch(es), alpha=%s",
+            len(feed), pending["alpha"],
+        )
+        self.model.calibrate_and_quantize_int8(feed, alpha=pending["alpha"])
+        self.model.pending_int8_calibration = None
+        self._reshard_lm()
+
     def trainable_state(self) -> Dict[str, Any]:
         return {"mapper": self.model.params["mapper"]}
 

@@ -151,6 +151,22 @@ def build_model_from_config(config: Any) -> Tuple[Any, Any]:
         params = init_vct0_params(
             key, cfg, lm_params=lm_params, param_dtype=param_dtype
         )
+        any_int8 = lm_cfg.int8_encoder_ffn or lm_cfg.int8_encoder_attn
+        calib_batches = int(
+            config.get("tpu", {}).get("int8_calibrate_batches", 0) or 0
+        )
+        if any_int8 and calib_batches > 0:
+            # defer quantization to the executor, which calibrates
+            # SmoothQuant activation maxima on the first eval batches
+            # (VCT0Model.calibrate_and_quantize_int8)
+            model = VCT0Model(cfg, params)
+            model.pending_int8_calibration = {
+                "batches": calib_batches,
+                "alpha": float(
+                    config.get("tpu", {}).get("int8_smooth_alpha", 0.5)
+                ),
+            }
+            return model, "vct0"
         if lm_cfg.int8_encoder_ffn:
             # quantize the frozen LM's FFN weights once at build time
             # (opt-in bulk-eval mode; tpu.int8_encoder_ffn)

@@ -233,6 +233,52 @@ class TestFewShotVQAEndToEnd:
         assert "test_evaluation/accuracy_overall" in metrics
         assert 0.0 <= metrics["test_evaluation/accuracy_overall"] <= 100.0
 
+    def test_int8_calibrated_eval(self, tmp_path):
+        """tpu.int8_calibrate_batches defers quantization to the
+        executor, which accumulates SmoothQuant activation maxima on the
+        first eval batches' SPLICED encoder inputs and then quantizes
+        with calibrated folding (the smoothed norm rides inside the q8
+        subtrees)."""
+        fixtures = write_vqa_fixtures(tmp_path)
+        config = make_test_config(tmp_path, fixtures)
+        config.tpu.int8_encoder_ffn = True
+        config.tpu.int8_encoder_attn = True
+        config.tpu.fused_attention = True
+        config.tpu.int8_calibrate_batches = 1
+        executor = build_executor(config)
+        # quantization deferred: nothing quantized at build time
+        lm_params = executor.model.params["lm"]
+        assert "ffn_q8" not in lm_params["encoder"]
+        assert executor.model.pending_int8_calibration["batches"] == 1
+        metrics = executor.test()
+        assert "test_evaluation/accuracy_overall" in metrics
+        assert 0.0 <= metrics["test_evaluation/accuracy_overall"] <= 100.0
+        lm_params = executor.model.params["lm"]
+        assert "ffn_q8" in lm_params["encoder"]
+        assert "self_attn_q8" in lm_params["encoder"]
+        # calibrated folding: the smoothed norms ride in the q8 subtrees
+        assert "ln" in lm_params["encoder"]["ffn_q8"]
+        assert "ln" in lm_params["encoder"]["self_attn_q8"]
+        assert executor.model.pending_int8_calibration is None
+        # predictions cover every question exactly once despite the
+        # calibration pre-pass consuming a loader iteration
+        answers_path = os.path.join(config.results_path, "answers.pkl")
+        with open(answers_path, "rb") as fh:
+            assert len(pickle.load(fh)) == 4
+
+    def test_int8_calibration_unsupported_mode_raises(self, tmp_path):
+        fixtures = write_vqa_fixtures(tmp_path)
+        config = make_test_config(
+            tmp_path, fixtures,
+            num_permutations_of_in_context_examples=2,
+        )
+        config.tpu.int8_encoder_ffn = True
+        config.tpu.fused_attention = True
+        config.tpu.int8_calibrate_batches = 1
+        executor = build_executor(config)
+        with pytest.raises(ValueError, match="int8_calibrate_batches"):
+            executor.test()
+
     def test_zero_shot(self, tmp_path):
         fixtures = write_vqa_fixtures(tmp_path)
         config = make_test_config(tmp_path, fixtures)
