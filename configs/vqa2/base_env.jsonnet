@@ -111,6 +111,11 @@ local caption_features = {
     //   "int8_encoder_attn": true  int8 QKV/O projections too -> 1.52x
     //                              encoder, 57.5 vs 44.8 prompts/s with
     //                              all three (needs fused_attention)
+    //   "int8_calibrate_batches": N  defer quantization and calibrate
+    //                              SmoothQuant folding on the first N
+    //                              eval batches' spliced inputs (drift
+    //                              reduction; main/no_prefix modes)
+    //   "int8_smooth_alpha": 0.5   SmoothQuant activation/weight balance
   },
   "cache": {
     "default_folder": default_cache_folder,

@@ -30,7 +30,10 @@ production use — see tools/int8_drift_study.py), add:
     --opts "tpu.int8_cross_kv=True" "tpu.int8_encoder_ffn=True" \
            "tpu.int8_encoder_attn=True"
 
-and compare the resulting table against the bf16 run's.
+and compare the resulting table against the bf16 run's. Adding
+"tpu.int8_calibrate_batches=8" additionally calibrates SmoothQuant
+folding on the first eval batches (the drift-reduction lever measured
+in tools/int8_drift_study.py) before quantizing.
 """
 
 from __future__ import annotations
