@@ -235,3 +235,31 @@ def test_pipelined_eval_fallback_beam(tmp_path):
     )
     assert not ex.pipelined
     assert ex.mesh is not None and "pipe" not in ex.mesh.shape
+
+
+def test_int8_calibrated_eval_on_mesh(tmp_path):
+    """Deferred SmoothQuant calibration under an active (data, model)
+    mesh: the quantized LM params swapped in mid-run must be re-placed
+    on the mesh (_reshard_lm) so the sharded generate jit accepts them."""
+    from test_e2e import (
+        build_executor,
+        make_test_config,
+        write_vqa_fixtures,
+    )
+
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    fixtures = write_vqa_fixtures(tmp_path)
+    config = make_test_config(tmp_path, fixtures)
+    config.model_config.lm_config["num_heads"] = 8
+    config.tpu.mesh = {"data": 4, "pipe": 1, "model": 2}
+    config.tpu.int8_encoder_ffn = True
+    config.tpu.int8_encoder_attn = True
+    config.tpu.fused_attention = True
+    config.tpu.int8_calibrate_batches = 1
+    ex = build_executor(config)
+    assert ex.mesh is not None
+    assert ex.model.pending_int8_calibration["batches"] == 1
+    metrics = ex.test()
+    assert "test_evaluation/accuracy_overall" in metrics
+    enc = ex.model.params["lm"]["encoder"]
+    assert "ln" in enc["ffn_q8"] and "ln" in enc["self_attn_q8"]
