@@ -8,7 +8,11 @@ TPU hardware with the production compute dtype (bf16):
      splice -> encoder -> KV-cache greedy decode -> official VQA scoring
      -> answers.pkl), reference flow: src/main.py + few_shot_vqa_executor;
   2. CC mapper training (captioning loss, optax step, Orbax checkpoint)
-     + epoch resume.
+     + epoch resume;
+  3. the int8 bulk-eval stack with deferred SmoothQuant calibration
+     (tpu.int8_encoder_ffn/attn + int8_calibrate_batches): the grouped
+     q8 kernels must compile and run on real Mosaic, and the
+     calibrate -> quantize -> eval flow must produce full coverage.
 
 Reuses the committed e2e fixture builders (tests/test_e2e.py) so the
 fixtures are identical to CI's. Run manually:  python -m
@@ -29,6 +33,14 @@ def main() -> None:
         os.path.abspath(__file__))))
     sys.path.insert(0, os.path.join(repo_root, "tests"))
     sys.path.insert(0, repo_root)
+
+    # before first backend use (harmless at the smoke's tiny widths, but
+    # keeps the script valid if pointed at production shapes)
+    from explicit_alignment_for_vqa_tasks_tpu.utils.tpu_flags import (
+        ensure_scoped_vmem_limit,
+    )
+
+    ensure_scoped_vmem_limit(98304)
 
     import jax
 
@@ -76,6 +88,31 @@ def main() -> None:
         executor2 = e2e.build_executor(config)
         executor2.maybe_load_checkpoint()
         print("hw_smoke train+resume OK", flush=True)
+
+    # ---- 3. int8 eval stack with deferred SmoothQuant calibration ----
+    with tempfile.TemporaryDirectory() as td:
+        tmp = Path(td)
+        fixtures = e2e.write_vqa_fixtures(tmp)
+        config = e2e.make_test_config(tmp, fixtures)
+        config.tpu.compute_dtype = "bfloat16"
+        config.tpu.params_dtype = "bfloat16"
+        config.tpu.fused_attention = True
+        config.tpu.int8_encoder_ffn = True
+        config.tpu.int8_encoder_attn = True
+        config.tpu.int8_cross_kv = True
+        config.tpu.int8_calibrate_batches = 1
+        executor = e2e.build_executor(config)
+        assert executor.model.pending_int8_calibration
+        metrics = executor.test()
+        acc = metrics["test_evaluation/accuracy_overall"]
+        assert 0.0 <= acc <= 100.0, metrics
+        enc = executor.model.params["lm"]["encoder"]
+        assert "ln" in enc["ffn_q8"] and "ln" in enc["self_attn_q8"]
+        with open(os.path.join(config.results_path, "answers.pkl"),
+                  "rb") as fh:
+            assert len(pickle.load(fh)) == 4
+        print(f"hw_smoke int8 calibrated eval OK: "
+              f"accuracy_overall={acc:.2f}", flush=True)
 
     print("hw_smoke PASSED", flush=True)
 
