@@ -19,6 +19,10 @@ Three quantization schemes are compared head-to-head:
   * grouped+smooth — grouped plus SmoothQuant folding of calibrated
     activation maxima into the frozen weights (calibrated on the study
     inputs themselves; see models/t5.py::calibrate_encoder_act_max).
+A fourth variant, full_stack, adds int8_cross_kv on top of
+grouped+smooth — the complete production int8 configuration (the 57.5
+prompts/s point), so the decode-side cache quantization's contribution
+is measured too.
 
 `--mode outlier` re-runs the comparison on a model whose RMS-norm
 scales carry heavy-tailed per-channel factors — the activation-outlier
@@ -48,6 +52,9 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--mode", choices=("normal", "outlier", "both"),
                         default="both")
+    parser.add_argument("--tiny", action="store_true",
+                        help="tiny shapes so CI can smoke the variant "
+                             "machinery on CPU (numbers not meaningful)")
     args = parser.parse_args()
 
     from ..utils.tpu_flags import ensure_scoped_vmem_limit
@@ -72,18 +79,29 @@ def main() -> None:
     enable_compilation_cache()
 
     # t5-large shape (~770M params); bf16 baseline IS the production mode
-    cfg_bf = T5Config(
-        vocab_size=32128, d_model=1024, d_kv=64, num_heads=16, d_ff=2816,
-        num_encoder_layers=24, num_decoder_layers=24, dtype=jnp.bfloat16,
-        fused_encoder_attention=True,
-    )
+    if args.tiny:
+        cfg_bf = T5Config(
+            vocab_size=512, d_model=64, d_kv=16, num_heads=4, d_ff=128,
+            num_encoder_layers=3, num_decoder_layers=2, dtype=jnp.float32,
+            fused_encoder_attention=True,
+        )
+        batch, length, max_new = 2, 16, 4
+    else:
+        cfg_bf = T5Config(
+            vocab_size=32128, d_model=1024, d_kv=64, num_heads=16,
+            d_ff=2816, num_encoder_layers=24, num_decoder_layers=24,
+            dtype=jnp.bfloat16, fused_encoder_attention=True,
+        )
+        batch, length, max_new = 16, 64, 20
     cfg_q8 = dataclasses.replace(
         cfg_bf, int8_encoder_ffn=True, int8_encoder_attn=True
     )
 
     rng = np.random.default_rng(0)
-    batch, length, max_new = 16, 64, 20
-    ids = jnp.asarray(rng.integers(2, 32000, (batch, length)), jnp.int32)
+    ids = jnp.asarray(
+        rng.integers(2, min(32000, cfg_bf.vocab_size - 8), (batch, length)),
+        jnp.int32,
+    )
     mask = jnp.ones((batch, length), jnp.int32)
 
     def decode(p, cfg):
@@ -116,14 +134,20 @@ def main() -> None:
         print("calibrating activation maxima...", file=sys.stderr)
         stats = calibrate_encoder_act_max(params, cfg_bf, [(ids, mask)])
 
+        smooth = quantize_encoder_attn(
+            quantize_encoder_ffn(params, act_max=stats["ffn"]),
+            act_max=stats["attn"])
         variants = {
-            "per_channel": quantize_encoder_attn(
-                quantize_encoder_ffn(params, groups=1), groups=1),
-            "grouped": quantize_encoder_attn(
-                quantize_encoder_ffn(params), ),
-            "grouped_smooth": quantize_encoder_attn(
-                quantize_encoder_ffn(params, act_max=stats["ffn"]),
-                act_max=stats["attn"]),
+            "per_channel": (quantize_encoder_attn(
+                quantize_encoder_ffn(params, groups=1), groups=1), cfg_q8),
+            "grouped": (quantize_encoder_attn(
+                quantize_encoder_ffn(params)), cfg_q8),
+            "grouped_smooth": (smooth, cfg_q8),
+            # the complete production int8 configuration: encoder int8
+            # (grouped+smooth) PLUS the int8 cross-attention KV cache in
+            # decode (the B=64 capacity lever)
+            "full_stack": (smooth, dataclasses.replace(
+                cfg_q8, int8_cross_kv=True)),
         }
 
         print("bf16 baseline encode+decode...", file=sys.stderr)
@@ -134,9 +158,9 @@ def main() -> None:
         tok_bf, lp_bf = decode(params, cfg_bf)
 
         out = {}
-        for name, params_q8 in variants.items():
+        for name, (params_q8, cfg_v) in variants.items():
             print(f"variant {name}...", file=sys.stderr)
-            _, per_layer_q8 = t5_encode(params_q8, cfg_q8, input_ids=ids,
+            _, per_layer_q8 = t5_encode(params_q8, cfg_v, input_ids=ids,
                                         attention_mask=mask,
                                         collect_hiddens=True)
             layer_rel = []
@@ -145,7 +169,7 @@ def main() -> None:
                 layer_rel.append(
                     float(np.linalg.norm(b - a) / np.linalg.norm(a)))
 
-            tok_q8, lp_q8 = decode(params_q8, cfg_q8)
+            tok_q8, lp_q8 = decode(params_q8, cfg_v)
             same = tok_bf == tok_q8
             first_flip = np.where(
                 same.all(axis=1), max_new, (~same).argmax(axis=1)
@@ -168,8 +192,10 @@ def main() -> None:
     result = {
         "metric": "int8_encoder_drift_vs_bf16_t5_large_random",
         "modes": ["int8_encoder_ffn", "int8_encoder_attn"],
-        "shapes": {"batch": batch, "enc_len": length, "layers": 24,
-                   "d_model": 1024, "max_new_tokens": max_new},
+        "shapes": {"batch": batch, "enc_len": length,
+                   "layers": cfg_bf.num_encoder_layers,
+                   "d_model": cfg_bf.d_model, "max_new_tokens": max_new,
+                   "tiny": bool(args.tiny)},
     }
     if args.mode in ("normal", "both"):
         result["normal"] = run_mode("normal")

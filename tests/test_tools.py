@@ -209,3 +209,32 @@ class TestAnalysis:
         import os
 
         assert os.path.exists(out)
+
+
+class TestInt8DriftStudy:
+    def test_tiny_smoke_runs_all_variants(self, capsys, monkeypatch):
+        """--tiny exercises the drift-study machinery (calibration, the
+        four quantization variants incl. full_stack with int8 cross-KV
+        decode, outlier injection) on CPU; real numbers come from the
+        chip run recorded in PARITY.md."""
+        import sys as _sys
+
+        from explicit_alignment_for_vqa_tasks_tpu.tools import (
+            int8_drift_study,
+        )
+
+        monkeypatch.setattr(
+            _sys, "argv",
+            ["int8_drift_study", "--tiny", "--mode", "outlier"],
+        )
+        int8_drift_study.main()
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        out = json.loads(line)
+        assert out["shapes"]["tiny"] is True
+        variants = out["outlier"]
+        assert set(variants) == {
+            "per_channel", "grouped", "grouped_smooth", "full_stack",
+        }
+        for v in variants.values():
+            assert 0.0 <= v["full_sequence_match_rate"] <= 1.0
+            assert v["last_layer_rel_error"] > 0.0
