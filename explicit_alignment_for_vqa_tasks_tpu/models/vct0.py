@@ -579,6 +579,18 @@ class VCT0Model:
             }
         if stats is None:
             raise ValueError("int8 calibration needs >= 1 batch")
+        if jax.process_count() > 1:
+            # every process calibrates on ITS data shard; the quantized
+            # weights must be bit-identical everywhere (they ride
+            # replicated through collectives), so max-reduce the stats
+            # across processes before folding
+            from jax.experimental import multihost_utils
+
+            for k in stats:
+                gathered = multihost_utils.process_allgather(
+                    jnp.asarray(stats[k])
+                )
+                stats[k] = np.asarray(gathered, np.float32).max(axis=0)
         lm = self.params["lm"]
         if lm_cfg.int8_encoder_ffn:
             lm = t5_lib.quantize_encoder_ffn(

@@ -25,6 +25,7 @@ def main() -> None:
     proc_id = int(sys.argv[1])
     nprocs = int(sys.argv[2])
     workdir = sys.argv[3]
+    int8 = len(sys.argv) > 4 and sys.argv[4] == "int8"
 
     from explicit_alignment_for_vqa_tasks_tpu.parallel.multihost import (
         maybe_initialize_distributed,
@@ -53,6 +54,16 @@ def main() -> None:
     # per-host eval: generation is local to each process's device; the
     # only cross-process step is the prediction gather before scoring
     config.tpu.use_mesh = False
+    if int8:
+        # deferred SmoothQuant calibration on the process's OWN shard:
+        # the act-max stats are max-reduced across processes
+        # (models/vct0.py) so the quantized weights — and therefore the
+        # predictions — are identical to the single-process reference
+        # run, which calibrates over the same union of questions
+        config.tpu.fused_attention = True
+        config.tpu.int8_encoder_ffn = True
+        config.tpu.int8_encoder_attn = True
+        config.tpu.int8_calibrate_batches = 1  # = this shard's 1 batch
     executor = build_executor(config)
 
     n_batches = len(executor.test_dataloader)

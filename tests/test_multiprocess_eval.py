@@ -28,7 +28,13 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_flagship_eval(tmp_path):
+@pytest.mark.parametrize("mode", ["bf16", "int8"])
+def test_two_process_flagship_eval(tmp_path, mode):
+    """mode=int8 additionally pins the distributed-calibration contract:
+    each worker calibrates SmoothQuant stats on its OWN [i::P] shard, the
+    stats are max-reduced across processes, so the quantized weights —
+    and the predictions — must EQUAL the single-process run that
+    calibrates over the same union of questions."""
     # --- single-process reference run (this pytest process, cpu) ---
     from test_e2e import build_executor, make_test_config, write_vqa_fixtures
 
@@ -37,6 +43,11 @@ def test_two_process_flagship_eval(tmp_path):
     fixtures = write_vqa_fixtures(ref_dir)
     config = make_test_config(ref_dir, fixtures)
     config.tpu.use_mesh = False
+    if mode == "int8":
+        config.tpu.fused_attention = True
+        config.tpu.int8_encoder_ffn = True
+        config.tpu.int8_encoder_attn = True
+        config.tpu.int8_calibrate_batches = 2  # all 4 questions
     executor = build_executor(config)
     ref_metrics = executor.test()
     with open(os.path.join(config.results_path, "answers.pkl"), "rb") as fh:
@@ -73,7 +84,7 @@ def test_two_process_flagship_eval(tmp_path):
         procs.append(
             subprocess.Popen(
                 [sys.executable, WORKER, str(pid), str(nprocs),
-                 str(workdir)],
+                 str(workdir), mode],
                 env=env, cwd=REPO,
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             )
