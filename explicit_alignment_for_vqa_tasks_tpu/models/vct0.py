@@ -189,18 +189,18 @@ def _generate_no_prefix(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "mesh", "num_prefixes", "max_new_tokens",
-                     "n_micro", "sequence_parallel"),
+                     "n_micro", "sequence_parallel", "num_beams"),
 )
 def _generate_main_pp(
     lm_params: Params, mapper_params: Params, cfg: VCT0Config, mesh,
     prefix: jax.Array, tokens: jax.Array, mask: jax.Array,
     num_prefixes: int, max_new_tokens: int, n_micro: int,
-    sequence_parallel: bool,
+    sequence_parallel: bool, num_beams: int = 1,
 ):
     """Pipelined twin of _generate_main: GPipe encoder over `pipe`,
-    tp decode with pipe-gathered decoder params
-    (parallel/pipeline.py::greedy_generate_pp)."""
-    from ..parallel.pipeline import greedy_generate_pp
+    tp decode (greedy or beam) with pipe-gathered decoder params
+    (parallel/pipeline.py::greedy_generate_pp / beam_generate_pp)."""
+    from ..parallel.pipeline import beam_generate_pp, greedy_generate_pp
 
     text_embeds = t5_lib.embed_tokens(lm_params, cfg.lm, tokens)
     prefix_proj = project_prefix(cfg, mapper_params, prefix)
@@ -209,6 +209,12 @@ def _generate_main_pp(
         prefix_length=cfg.prefix_length, num_prefixes=num_prefixes,
         base_id=cfg.sentinel_base,
     )
+    if num_beams > 1:
+        return beam_generate_pp(
+            lm_params, cfg.lm, mesh, joint, joint_mask,
+            num_beams=num_beams, max_new_tokens=max_new_tokens,
+            n_micro=n_micro, sequence_parallel=sequence_parallel,
+        )
     return greedy_generate_pp(
         lm_params, cfg.lm, mesh, joint, joint_mask,
         max_new_tokens=max_new_tokens, n_micro=n_micro,
@@ -219,16 +225,22 @@ def _generate_main_pp(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "mesh", "max_new_tokens", "n_micro",
-                     "sequence_parallel"),
+                     "sequence_parallel", "num_beams"),
 )
 def _generate_no_prefix_pp(
     lm_params: Params, cfg: VCT0Config, mesh, tokens: jax.Array,
     mask: jax.Array, max_new_tokens: int, n_micro: int,
-    sequence_parallel: bool,
+    sequence_parallel: bool, num_beams: int = 1,
 ):
-    from ..parallel.pipeline import greedy_generate_pp
+    from ..parallel.pipeline import beam_generate_pp, greedy_generate_pp
 
     embeds = t5_lib.embed_tokens(lm_params, cfg.lm, tokens)
+    if num_beams > 1:
+        return beam_generate_pp(
+            lm_params, cfg.lm, mesh, embeds, mask, num_beams=num_beams,
+            max_new_tokens=max_new_tokens, n_micro=n_micro,
+            sequence_parallel=sequence_parallel,
+        )
     return greedy_generate_pp(
         lm_params, cfg.lm, mesh, embeds, mask,
         max_new_tokens=max_new_tokens, n_micro=n_micro,
@@ -299,18 +311,43 @@ def _generate_forced(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "num_segments", "max_new_tokens",
-                              "with_prefix")
+    jax.jit,
+    static_argnames=("cfg", "mesh", "max_new_tokens", "n_micro",
+                     "sequence_parallel"),
 )
-def _generate_one_at_a_time(
+def _generate_forced_pp(
+    lm_params: Params, mapper_params: Params, cfg: VCT0Config, mesh,
+    prefix: jax.Array, tokens: jax.Array, mask: jax.Array,
+    decoder_input_ids: jax.Array, max_new_tokens: int, n_micro: int,
+    sequence_parallel: bool,
+):
+    """Pipelined twin of _generate_forced (reference: vct0.py:466-482):
+    same test-image-only splice, GPipe encoder, teacher-forced decode on
+    pipe-gathered decoder params."""
+    from ..parallel.pipeline import forced_generate_pp
+
+    text_embeds = t5_lib.embed_tokens(lm_params, cfg.lm, tokens)
+    prefix_proj = project_prefix(cfg, mapper_params, prefix)
+    joint, joint_mask = insert_prefix_into_input(
+        tokens, text_embeds, prefix_proj[:, -1:].astype(text_embeds.dtype),
+        mask, prefix_length=cfg.prefix_length, num_prefixes=1,
+        base_id=cfg.sentinel_base,
+    )
+    return forced_generate_pp(
+        lm_params, cfg.lm, mesh, joint, joint_mask, decoder_input_ids,
+        max_new_tokens=max_new_tokens, n_micro=n_micro,
+        sequence_parallel=sequence_parallel,
+    )
+
+
+def _one_at_a_time_segments(
     lm_params: Params, mapper_params: Params, cfg: VCT0Config,
     prefix: Optional[jax.Array], tokens: jax.Array, mask: jax.Array,
-    num_segments: int, max_new_tokens: int, with_prefix: bool,
+    num_segments: int, with_prefix: bool,
 ):
-    """Blockwise encoder: encode each segment separately, concatenate
-    encoder states + masks for the decoder (reference: vct0.py:427-444).
-    Segment i's sentinel is <extra_id_i>."""
-    hidden_list, mask_list = [], []
+    """Per-segment spliced encoder inputs for the blockwise-encoder mode
+    (reference: vct0.py:427-444). Segment i's sentinel is <extra_id_i>.
+    Yields (inputs_embeds | input_ids, mask) per segment."""
     prefix_proj = (
         project_prefix(cfg, mapper_params, prefix) if with_prefix else None
     )
@@ -324,22 +361,94 @@ def _generate_one_at_a_time(
                 prefix_length=cfg.prefix_length, num_prefixes=1,
                 base_id=cfg.sentinel_base - i,
             )
-            hidden = t5_lib.t5_encode(
-                lm_params, cfg.lm, inputs_embeds=joint,
-                attention_mask=joint_mask,
-            )
-            mask_list.append(joint_mask)
+            yield joint, joint_mask
         else:
+            yield seg_tokens, seg_mask
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_segments", "max_new_tokens",
+                              "with_prefix", "num_beams")
+)
+def _generate_one_at_a_time(
+    lm_params: Params, mapper_params: Params, cfg: VCT0Config,
+    prefix: Optional[jax.Array], tokens: jax.Array, mask: jax.Array,
+    num_segments: int, max_new_tokens: int, with_prefix: bool,
+    num_beams: int = 1,
+):
+    """Blockwise encoder: encode each segment separately, concatenate
+    encoder states + masks for the decoder (reference: vct0.py:427-444;
+    num_beams rides through to the decode like HF generate's)."""
+    hidden_list, mask_list = [], []
+    for seg_in, seg_mask in _one_at_a_time_segments(
+        lm_params, mapper_params, cfg, prefix, tokens, mask,
+        num_segments, with_prefix,
+    ):
+        if with_prefix:
             hidden = t5_lib.t5_encode(
-                lm_params, cfg.lm, input_ids=seg_tokens,
+                lm_params, cfg.lm, inputs_embeds=seg_in,
                 attention_mask=seg_mask,
             )
-            mask_list.append(seg_mask)
+        else:
+            hidden = t5_lib.t5_encode(
+                lm_params, cfg.lm, input_ids=seg_in,
+                attention_mask=seg_mask,
+            )
         hidden_list.append(hidden)
+        mask_list.append(seg_mask)
     encoder_hidden = jnp.concatenate(hidden_list, axis=1)
     encoder_mask = jnp.concatenate(mask_list, axis=1)
+    if num_beams > 1:
+        return _decoding.beam_search_t5(
+            lm_params, cfg.lm, encoder_hidden, encoder_mask,
+            num_beams=num_beams, max_new_tokens=max_new_tokens,
+        )
     return _decoding.greedy_decode_t5(
         lm_params, cfg.lm, encoder_hidden, encoder_mask, max_new_tokens
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "num_segments", "max_new_tokens",
+                     "with_prefix", "n_micro", "sequence_parallel",
+                     "num_beams"),
+)
+def _generate_one_at_a_time_pp(
+    lm_params: Params, mapper_params: Params, cfg: VCT0Config, mesh,
+    prefix: Optional[jax.Array], tokens: jax.Array, mask: jax.Array,
+    num_segments: int, max_new_tokens: int, with_prefix: bool,
+    n_micro: int, sequence_parallel: bool, num_beams: int = 1,
+):
+    """Pipelined twin of _generate_one_at_a_time: each segment runs the
+    GPipe encoder (parallel/pipeline.py::t5_encode_pp), hidden states are
+    concatenated, and the decode runs tp-sharded on pipe-gathered decoder
+    params — the same composition as greedy_generate_pp."""
+    from ..parallel.pipeline import gather_decoder_over_pipe, t5_encode_pp
+
+    hidden_list, mask_list = [], []
+    for seg_in, seg_mask in _one_at_a_time_segments(
+        lm_params, mapper_params, cfg, prefix, tokens, mask,
+        num_segments, with_prefix,
+    ):
+        if not with_prefix:
+            seg_in = t5_lib.embed_tokens(lm_params, cfg.lm, seg_in)
+        hidden = t5_encode_pp(
+            lm_params, cfg.lm, mesh, seg_in, seg_mask,
+            n_micro=n_micro, sequence_parallel=sequence_parallel,
+        )
+        hidden_list.append(hidden)
+        mask_list.append(seg_mask)
+    encoder_hidden = jnp.concatenate(hidden_list, axis=1)
+    encoder_mask = jnp.concatenate(mask_list, axis=1)
+    gathered = gather_decoder_over_pipe(lm_params, mesh)
+    if num_beams > 1:
+        return _decoding.beam_search_t5(
+            gathered, cfg.lm, encoder_hidden, encoder_mask,
+            num_beams=num_beams, max_new_tokens=max_new_tokens,
+        )
+    return _decoding.greedy_decode_t5(
+        gathered, cfg.lm, encoder_hidden, encoder_mask, max_new_tokens
     )
 
 
@@ -367,8 +476,9 @@ class VCT0Model:
         self.cfg = cfg
         self.params = params
         # set by the executor when a 3-D (data, pipe, model) mesh is
-        # active: (mesh, n_micro, sequence_parallel). Routes the
-        # greedy generate paths through the pipelined twins.
+        # active: (mesh, n_micro, sequence_parallel). Routes every
+        # generate path through its pipelined twin (main / no_prefix /
+        # prefix-only / one-at-a-time / forced-decoder / beam).
         self.pipeline_ctx = None
 
     # --- reference: VCT0Model.forward (vct0.py:380-394) ---
@@ -412,6 +522,7 @@ class VCT0Model:
                 prefix = _pad_rows(prefix, target)
                 question_tokens = _pad_rows(question_tokens, target)
                 question_mask = _pad_rows(question_mask, target)
+                decoder_input_ids = _pad_rows(decoder_input_ids, target)
         if orig_batch is not None:
             tokens, lps = self._generate_inner(
                 prefix, question_tokens, question_mask, decoder_input_ids,
@@ -433,33 +544,31 @@ class VCT0Model:
         cfg, params = self.cfg, self.params
         lm_params, mapper_params = params["lm"], params["mapper"]
         ctx = self.pipeline_ctx
-        if ctx is not None and (
-            pass_examples_through_encoder_one_at_a_time
-            or decoder_input_ids is not None
-            or num_beams > 1
-        ):
-            # defense in depth: the executor falls back to the 2-D mesh
-            # for these modes (BaseExecutor._pipeline_unsupported_reason)
-            raise RuntimeError(
-                "pipelined generation supports only the greedy main / "
-                "no_prefix / prefix-only paths; set tpu.mesh.pipe=1 (or "
-                "let the executor fall back) for one-at-a-time, forced-"
-                "decoder, or beam generation"
-            )
 
         if no_prefix:
             if pass_examples_through_encoder_one_at_a_time:
+                if ctx is not None:
+                    mesh, n_micro, sp = ctx
+                    return _generate_one_at_a_time_pp(
+                        lm_params, mapper_params, cfg, mesh, None,
+                        question_tokens, question_mask,
+                        num_segments=question_tokens.shape[1],
+                        max_new_tokens=max_new_tokens, with_prefix=False,
+                        n_micro=n_micro, sequence_parallel=sp,
+                        num_beams=num_beams,
+                    )
                 return _generate_one_at_a_time(
                     lm_params, mapper_params, cfg, None, question_tokens,
                     question_mask, num_segments=question_tokens.shape[1],
                     max_new_tokens=max_new_tokens, with_prefix=False,
+                    num_beams=num_beams,
                 )
             if ctx is not None:
                 mesh, n_micro, sp = ctx
                 return _generate_no_prefix_pp(
                     lm_params, cfg, mesh, question_tokens, question_mask,
                     max_new_tokens=max_new_tokens, n_micro=n_micro,
-                    sequence_parallel=sp,
+                    sequence_parallel=sp, num_beams=num_beams,
                 )
             return _generate_no_prefix(
                 lm_params, cfg, question_tokens, question_mask,
@@ -467,10 +576,21 @@ class VCT0Model:
             )
 
         if pass_examples_through_encoder_one_at_a_time:
+            if ctx is not None:
+                mesh, n_micro, sp = ctx
+                return _generate_one_at_a_time_pp(
+                    lm_params, mapper_params, cfg, mesh, prefix,
+                    question_tokens, question_mask,
+                    num_segments=question_tokens.shape[1],
+                    max_new_tokens=max_new_tokens, with_prefix=True,
+                    n_micro=n_micro, sequence_parallel=sp,
+                    num_beams=num_beams,
+                )
             return _generate_one_at_a_time(
                 lm_params, mapper_params, cfg, prefix, question_tokens,
                 question_mask, num_segments=question_tokens.shape[1],
                 max_new_tokens=max_new_tokens, with_prefix=True,
+                num_beams=num_beams,
             )
 
         if question_tokens is not None:
@@ -485,7 +605,7 @@ class VCT0Model:
                         question_tokens, question_mask,
                         num_prefixes=num_prefixes,
                         max_new_tokens=max_new_tokens, n_micro=n_micro,
-                        sequence_parallel=sp,
+                        sequence_parallel=sp, num_beams=num_beams,
                     )
                 return _generate_main(
                     lm_params, mapper_params, cfg, prefix, question_tokens,
@@ -494,6 +614,14 @@ class VCT0Model:
                 )
             # forced decoder prefix: only the test image's prefix is
             # spliced (reference: vct0.py:466-482)
+            if ctx is not None:
+                mesh, n_micro, sp = ctx
+                return _generate_forced_pp(
+                    lm_params, mapper_params, cfg, mesh, prefix,
+                    question_tokens, question_mask, decoder_input_ids,
+                    max_new_tokens=max_new_tokens, n_micro=n_micro,
+                    sequence_parallel=sp,
+                )
             return _generate_forced(
                 lm_params, mapper_params, cfg, prefix, question_tokens,
                 question_mask, decoder_input_ids, max_new_tokens,

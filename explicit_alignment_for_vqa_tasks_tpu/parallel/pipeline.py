@@ -639,3 +639,68 @@ def greedy_generate_pp(
     return greedy_decode_t5(
         gathered, cfg, hidden, attention_mask, max_new_tokens
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "max_new_tokens", "n_micro",
+                     "sequence_parallel"),
+)
+def forced_generate_pp(
+    params: Params,
+    cfg: T5Config,
+    mesh: Mesh,
+    inputs_embeds: jax.Array,           # (B, L, D)
+    attention_mask: jax.Array,          # (B, L)
+    decoder_input_ids: jax.Array,       # (B, T0) forced prefix
+    max_new_tokens: int = 20,
+    n_micro: int = 2,
+    sequence_parallel: bool = False,
+):
+    """Pipelined twin of the forced-decoder-prefix path: GPipe encoder,
+    then ops.decoding.forced_decode_t5 on pipe-gathered decoder params
+    (reference surface: vct0.py:466-482)."""
+    from ..ops.decoding import forced_decode_t5
+
+    hidden = t5_encode_pp(
+        params, cfg, mesh, inputs_embeds, attention_mask,
+        n_micro=n_micro, sequence_parallel=sequence_parallel,
+    )
+    gathered = gather_decoder_over_pipe(params, mesh)
+    return forced_decode_t5(
+        gathered, cfg, hidden, attention_mask, decoder_input_ids,
+        max_new_tokens,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "num_beams", "max_new_tokens",
+                     "n_micro", "sequence_parallel"),
+)
+def beam_generate_pp(
+    params: Params,
+    cfg: T5Config,
+    mesh: Mesh,
+    inputs_embeds: jax.Array,           # (B, L, D)
+    attention_mask: jax.Array,          # (B, L)
+    num_beams: int,
+    max_new_tokens: int = 20,
+    n_micro: int = 2,
+    sequence_parallel: bool = False,
+):
+    """Pipelined twin of beam search: GPipe encoder, then
+    ops.decoding.beam_search_t5 on pipe-gathered decoder params. Returns
+    the same (tokens, true per-token logprobs) surface as the
+    single-device path, so sequence_scores composes identically."""
+    from ..ops.decoding import beam_search_t5
+
+    hidden = t5_encode_pp(
+        params, cfg, mesh, inputs_embeds, attention_mask,
+        n_micro=n_micro, sequence_parallel=sequence_parallel,
+    )
+    gathered = gather_decoder_over_pipe(params, mesh)
+    return beam_search_t5(
+        gathered, cfg, hidden, attention_mask, num_beams=num_beams,
+        max_new_tokens=max_new_tokens,
+    )

@@ -65,22 +65,11 @@ class FewShotVQAExecutor(BaseExecutor):
         return None
 
     def _pipeline_unsupported_reason(self):
-        """Modes whose generate path has no pipelined twin (the pipelined
-        paths are greedy main / no_prefix / prefix-only; see
-        models/vct0.py twins). The 3-D mesh would otherwise leave GSPMD
-        to improvise on pipe-sharded params in these modes."""
-        additional = self.config.data_loader.additional
-        if additional.get("pass_examples_through_encoder_one_at_a_time", 0):
-            return ("pass_examples_through_encoder_one_at_a_time has no "
-                    "pipelined generate twin")
-        if int(additional.get("num_beams", 1) or 1) > 1:
-            return "beam search has no pipelined generate twin"
-        dec_mods = self.config.model_config.get(
-            "decoder_input_modules", {}
-        ).get("module_list", [])
-        if dec_mods:
-            return ("forced decoder_input_ids generation has no pipelined "
-                    "twin")
+        """Every generate path now has a pipelined twin (main / no_prefix /
+        prefix-only / one-at-a-time / forced-decoder / beam — see
+        models/vct0.py), so the only remaining 2-D fallback is the opt-in
+        int8 encoder modes, whose q8 kernels the GPipe encoder stages do
+        not run."""
         tpu_cfg = self.config.get("tpu", {})
         if bool(tpu_cfg.get("int8_encoder_ffn", False)) or \
                 bool(tpu_cfg.get("int8_encoder_attn", False)):
@@ -193,6 +182,7 @@ class FewShotVQAExecutor(BaseExecutor):
                 no_prefix=no_prefix,
                 pass_examples_through_encoder_one_at_a_time=True,
                 max_new_tokens=max_new,
+                num_beams=num_beams,
             )
         elif ensemble_one_shots:
             input_ids = input_ids.reshape(
@@ -205,6 +195,7 @@ class FewShotVQAExecutor(BaseExecutor):
                 input_ids, attention_mask, clip_embeddings,
                 num_ensembles=num_shots, num_shots=1, no_prefix=no_prefix,
                 max_new_tokens=max_new, mode="one_shot",
+                num_beams=num_beams,
             )
         elif num_perms > 0:
             input_ids = input_ids.reshape(-1, num_perms, input_ids.shape[-1])
@@ -215,7 +206,7 @@ class FewShotVQAExecutor(BaseExecutor):
                 input_ids, attention_mask, clip_embeddings,
                 num_ensembles=num_perms, num_shots=None,
                 no_prefix=no_prefix, max_new_tokens=max_new,
-                mode="permutation",
+                mode="permutation", num_beams=num_beams,
             )
         else:
             tokens, logprobs = self.model.generate(
@@ -292,10 +283,14 @@ class FewShotVQAExecutor(BaseExecutor):
         no_prefix: bool,
         max_new_tokens: int,
         mode: str,
+        num_beams: int = 1,
     ) -> jnp.ndarray:
         """Generate per ensemble member, score each sequence by summed
         token log-prob (skipping ids {0,1,2}), argmax-pick
-        (reference: few_shot_vqa_executor.py:293-332)."""
+        (reference: few_shot_vqa_executor.py:293-332). num_beams > 1
+        composes correctly: beam outputs carry TRUE per-token logprobs
+        (ops/decoding.py::beam_search_t5), so sequence_scores ranks
+        ensemble members identically for greedy and beam."""
         batch = input_ids.shape[0]
         all_tokens, all_scores = [], []
         for i in range(num_ensembles):
@@ -315,6 +310,7 @@ class FewShotVQAExecutor(BaseExecutor):
                 no_prefix=no_prefix,
                 num_shots=num_shots,
                 max_new_tokens=max_new_tokens,
+                num_beams=num_beams,
             )
             all_tokens.append(np.asarray(tokens))
             all_scores.append(np.asarray(sequence_scores(tokens, logprobs)))

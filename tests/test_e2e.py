@@ -309,6 +309,21 @@ class TestFewShotVQAEndToEnd:
         metrics = executor.test()
         assert "test_evaluation/accuracy_overall" in metrics
 
+    def test_permutation_ensembling_with_beam(self, tmp_path):
+        """beam x ensemble composes: beam outputs carry true per-token
+        logprobs (round-3 beam fix), so sequence_scores ranks ensemble
+        members correctly and the executor forwards num_beams through
+        generate_from_ensembles."""
+        fixtures = write_vqa_fixtures(tmp_path)
+        config = make_test_config(
+            tmp_path, fixtures,
+            num_permutations_of_in_context_examples=2,
+            num_beams=2,
+        )
+        executor = build_executor(config)
+        metrics = executor.test()
+        assert "test_evaluation/accuracy_overall" in metrics
+
     @pytest.mark.parametrize("tokenizer", ["simple", "sentencepiece"])
     def test_forced_decoder_prefix_eval(self, tmp_path, tokenizer):
         """decoder_generation mode: a left-padded decoder prompt is

@@ -189,19 +189,43 @@ def test_few_shot_eval_on_pipelined_mesh(tmp_path):
     assert got == want
 
 
-def test_pipelined_eval_fallback_one_at_a_time(tmp_path):
-    """Eval modes without a pipelined generate twin must fall back to the
-    2-D mesh instead of leaving GSPMD to improvise (VERDICT r2 weak #1)."""
+def _pickled_answers(executor):
+    import pickle
+
+    with open(os.path.join(executor.config.results_path, "answers.pkl"),
+              "rb") as fh:
+        return {p["question_id"]: p["answer"] for p in pickle.load(fh)}
+
+
+def _assert_pipelined_eval_matches_single_device(tmp_path,
+                                                 **extra_additional):
+    """Run the same eval single-device and under the (data=2, pipe=2,
+    model=2) mesh; scores AND per-question answers must match exactly."""
+    ref = _build_vqa_eval_executor(tmp_path / "ref", None,
+                                   **extra_additional)
+    ref_metrics = ref.test()
+
     ex = _build_vqa_eval_executor(
-        tmp_path, {"data": 2, "pipe": 2, "model": 2},
-        pass_examples_through_encoder_one_at_a_time=1,
+        tmp_path / "pp", {"data": 2, "pipe": 2, "model": 2},
+        **extra_additional,
     )
-    assert not ex.pipelined
-    assert ex.model.pipeline_ctx is None
-    assert ex.mesh is not None  # 2-D fallback, still sharded
-    assert "pipe" not in ex.mesh.shape
+    assert ex.pipelined
+    assert ex.model.pipeline_ctx is not None
     metrics = ex.test()
-    assert "test_evaluation/accuracy_overall" in metrics
+    assert metrics["test_evaluation/accuracy_overall"] == \
+        ref_metrics["test_evaluation/accuracy_overall"]
+    assert _pickled_answers(ex) == _pickled_answers(ref)
+    return ex
+
+
+def test_pipelined_eval_one_at_a_time(tmp_path):
+    """The blockwise (one-at-a-time) encoder mode runs PIPELINED — each
+    segment through the GPipe encoder, decode on pipe-gathered decoder
+    params (models/vct0.py::_generate_one_at_a_time_pp) — and reproduces
+    the single-device answers exactly (was a 2-D fallback until round 3)."""
+    _assert_pipelined_eval_matches_single_device(
+        tmp_path, pass_examples_through_encoder_one_at_a_time=1,
+    )
 
 
 def test_pipelined_eval_fallback_int8_encoder_ffn(tmp_path):
@@ -229,12 +253,52 @@ def test_pipelined_eval_fallback_int8_encoder_ffn(tmp_path):
     assert "test_evaluation/accuracy_overall" in metrics
 
 
-def test_pipelined_eval_fallback_beam(tmp_path):
-    ex = _build_vqa_eval_executor(
-        tmp_path, {"data": 2, "pipe": 2, "model": 2}, num_beams=2,
+def test_pipelined_eval_beam(tmp_path):
+    """Beam search under the 3-D mesh: GPipe encoder + beam decode on
+    pipe-gathered decoder params (parallel/pipeline.py::beam_generate_pp)
+    == single-device beam (was a 2-D fallback until round 3)."""
+    _assert_pipelined_eval_matches_single_device(tmp_path, num_beams=2)
+
+
+def test_pipelined_eval_forced_decoder(tmp_path):
+    """Forced decoder-prefix generation under the 3-D mesh
+    (models/vct0.py::_generate_forced_pp) == single-device."""
+    from explicit_alignment_for_vqa_tasks_tpu.utils.attr_dict import (
+        AttrDict as AD,
     )
-    assert not ex.pipelined
-    assert ex.mesh is not None and "pipe" not in ex.mesh.shape
+    from test_e2e import build_executor, make_test_config, write_vqa_fixtures
+
+    dec_modules = AD(
+        module_list=[
+            {"type": "QuestionInput", "option": "default",
+             "separation_tokens": {"start": "", "end": ""}},
+        ],
+        postprocess_module_list=[
+            {"type": "PostProcessInputTokenization",
+             "option": "decoder_generation"},
+        ],
+    )
+
+    def build(sub, mesh_sizes):
+        (tmp_path / sub).mkdir(parents=True, exist_ok=True)
+        fixtures = write_vqa_fixtures(tmp_path / sub)
+        config = make_test_config(tmp_path / sub, fixtures)
+        config.model_config.lm_config["num_heads"] = 8
+        config.model_config.decoder_input_modules = dec_modules
+        if mesh_sizes is not None:
+            config.tpu.mesh = mesh_sizes
+        else:
+            config.tpu.use_mesh = False
+        return build_executor(config)
+
+    ref = build("ref", None)
+    ref_metrics = ref.test()
+    ex = build("pp", {"data": 2, "pipe": 2, "model": 2})
+    assert ex.pipelined
+    metrics = ex.test()
+    assert metrics["test_evaluation/accuracy_overall"] == \
+        ref_metrics["test_evaluation/accuracy_overall"]
+    assert _pickled_answers(ex) == _pickled_answers(ref)
 
 
 def test_int8_calibrated_eval_on_mesh(tmp_path):

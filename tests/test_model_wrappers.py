@@ -107,6 +107,28 @@ class TestVCT0:
         )
         assert out_tokens.shape == (1, 3)
 
+    def test_one_at_a_time_honors_num_beams(self, vct0):
+        """num_beams rides through the blockwise-encoder mode (the
+        reference forwards it to lm.generate in every path). With ONE
+        segment and no prefix, one-at-a-time encodes exactly the full
+        input, so its beam output must equal the no_prefix beam path."""
+        tokens = jnp.asarray([[11, 12, 13, 1]], dtype=jnp.int32)
+        mask = jnp.ones((1, 4), dtype=jnp.int32)
+        want_tok, want_lp = vct0.generate(
+            question_tokens=tokens, question_mask=mask, no_prefix=True,
+            max_new_tokens=4, num_beams=3,
+        )
+        got_tok, got_lp = vct0.generate(
+            question_tokens=tokens[:, None], question_mask=mask[:, None],
+            no_prefix=True,
+            pass_examples_through_encoder_one_at_a_time=True,
+            max_new_tokens=4, num_beams=3,
+        )
+        np.testing.assert_array_equal(np.asarray(got_tok),
+                                      np.asarray(want_tok))
+        np.testing.assert_allclose(np.asarray(got_lp), np.asarray(want_lp),
+                                   atol=1e-5)
+
     def test_generate_prefix_only(self, vct0):
         rng = np.random.default_rng(3)
         prefix = jnp.asarray(
