@@ -24,6 +24,16 @@ with +-0.3 parity verdicts (exit code 1 with --strict when any sweep
 point misses). The harness itself is CI-tested with tiny weights
 (tests/test_replicate_baseline.py), so it works on day 1.
 
+--modes extends the sweep to the REST of the published table (all
+hotpotqa-template rows; reference notebook cells 5-7):
+  no_prefix   text-only prompts (--no_prefix 1), RICES example text
+  text_rices  text-only prompts + question-only RICES
+              (needs --text-rices rices_questions_only.pkl)
+  ensemble    prompt-permutation ensembling
+              (--num_permutations_of_in_context_examples 5)
+  random      RANDOM in-context examples
+              (needs --random-examples random.pkl)
+
 To accuracy-validate the opt-in int8 throughput modes (required before
 production use — see tools/int8_drift_study.py), add:
 
@@ -66,6 +76,26 @@ BASELINE_NUMBERS: Dict[Any, float] = {
 TEMPLATE_CONFIGS = {
     "hotpotqa": "configs/vqa2/few_shot_vqa_hotpotqa.jsonnet",
     "frozen": "configs/vqa2/few_shot_vqa_frozen.jsonnet",
+}
+
+# The rest of the published table (plots_for_report.ipynb cells 5-7,
+# BASELINE.md) — all measured on the hotpotqa template.
+MODE_BASELINES: Dict[str, Dict[Any, float]] = {
+    "main": BASELINE_NUMBERS,
+    "no_prefix": {("hotpotqa", 0): 27.39, ("hotpotqa", 1): 38.08,
+                  ("hotpotqa", 2): 38.74, ("hotpotqa", 4): 35.11},
+    "text_rices": {("hotpotqa", 0): 27.39, ("hotpotqa", 1): 32.94,
+                   ("hotpotqa", 2): 33.54, ("hotpotqa", 4): 32.24},
+    "ensemble": {("hotpotqa", 2): 40.34, ("hotpotqa", 4): 38.36},
+    "random": {("hotpotqa", 1): 24.93, ("hotpotqa", 2): 24.69,
+               ("hotpotqa", 4): 24.26, ("hotpotqa", 8): 24.11},
+}
+MODE_DEFAULT_SHOTS: Dict[str, List[int]] = {
+    "main": [0, 1, 2, 4, 8],
+    "no_prefix": [0, 1, 2, 4],
+    "text_rices": [0, 1, 2, 4],
+    "ensemble": [2, 4],
+    "random": [1, 2, 4, 8],
 }
 
 
@@ -122,22 +152,42 @@ def _sentinel_base(weights_dir: str) -> Optional[int]:
         return None
 
 
+def _mode_examples_fpath(mode: str, args: Any) -> str:
+    """In-context example pickle per mode. Modes whose artifact was not
+    supplied raise — the user explicitly asked for the mode."""
+    if mode == "random":
+        if not args.random_examples:
+            raise ValueError("--modes random needs --random-examples "
+                             "(the reference's random.pkl)")
+        return args.random_examples
+    if mode == "text_rices":
+        if not args.text_rices:
+            raise ValueError("--modes text_rices needs --text-rices "
+                             "(the reference's rices_questions_only.pkl)")
+        return args.text_rices
+    return args.rices
+
+
 def _build_config(template: str, num_shots: int, args: Any,
                   lm_config: Dict[str, Any],
                   mapper_path: Optional[str],
-                  sentinel_base: Optional[int] = None):
+                  sentinel_base: Optional[int] = None,
+                  mode: str = "main"):
     from ..utils.attr_dict import AttrDict
     from ..utils.config_system import process_config
 
     ns = argparse.Namespace(
         config=TEMPLATE_CONFIGS[template],
         mode="test",
-        experiment_name=f"replicate_{template}_k{num_shots}",
-        reset=False, num_shots=num_shots, no_prefix=0,
+        experiment_name=f"replicate_{mode}_{template}_k{num_shots}",
+        reset=False, num_shots=num_shots,
+        no_prefix=int(mode in ("no_prefix", "text_rices")),
         pass_examples_through_encoder_one_at_a_time=0,
-        num_permutations_of_in_context_examples=0,
+        num_permutations_of_in_context_examples=(
+            args.ensemble_permutations if mode == "ensemble" else 0
+        ),
         sample_templates=0, ensemble_one_shots=0,
-        in_context_examples_fpath=args.rices,
+        in_context_examples_fpath=_mode_examples_fpath(mode, args),
         modules=[], tags=[],
         test_batch_size=args.batch_size, test_evaluation_name="",
         opts=list(args.opts or []),
@@ -233,28 +283,36 @@ def run_sweep(args: Any) -> Dict[str, Any]:
 
     sentinel_base = _sentinel_base(args.t0_weights)
     rows: List[Dict[str, Any]] = []
-    for template in args.templates:
-        for k in args.shots:
-            logger.info("=== %s, %d-shot ===", template, k)
-            config = _build_config(template, k, args, lm_config,
-                                   mapper_path, sentinel_base)
-            point = _run_point(config)
-            ref = BASELINE_NUMBERS.get((template, k))
-            acc = point["accuracy_overall"]
-            delta = None if ref is None or acc is None else round(
-                acc - ref, 2
-            )
-            verdict = "n/a"
-            if delta is not None and mapper_path is not None:
-                verdict = "PASS" if abs(delta) <= args.tolerance else "FAIL"
-            rows.append({
-                "template": template, "num_shots": k,
-                "accuracy": acc, "reference": ref, "delta": delta,
-                "verdict": verdict, **{
-                    key: point[key]
-                    for key in ("questions", "questions_per_s", "wall_s")
-                },
-            })
+    for mode in args.modes:
+        # the non-main published rows are hotpotqa-only (notebook cells 5-7)
+        templates = args.templates if mode == "main" else ["hotpotqa"]
+        shots = args.shots if args.shots else MODE_DEFAULT_SHOTS[mode]
+        baselines = MODE_BASELINES[mode]
+        for template in templates:
+            for k in shots:
+                logger.info("=== %s, %s, %d-shot ===", mode, template, k)
+                config = _build_config(template, k, args, lm_config,
+                                       mapper_path, sentinel_base,
+                                       mode=mode)
+                point = _run_point(config)
+                ref = baselines.get((template, k))
+                acc = point["accuracy_overall"]
+                delta = None if ref is None or acc is None else round(
+                    acc - ref, 2
+                )
+                verdict = "n/a"
+                if delta is not None and mapper_path is not None:
+                    verdict = ("PASS" if abs(delta) <= args.tolerance
+                               else "FAIL")
+                rows.append({
+                    "mode": mode, "template": template, "num_shots": k,
+                    "accuracy": acc, "reference": ref, "delta": delta,
+                    "verdict": verdict, **{
+                        key: point[key]
+                        for key in ("questions", "questions_per_s",
+                                    "wall_s")
+                    },
+                })
     report = {
         "t0_weights": args.t0_weights,
         "mapper_ckpt": args.mapper_ckpt,
@@ -267,13 +325,14 @@ def run_sweep(args: Any) -> Dict[str, Any]:
 
 
 def print_report(report: Dict[str, Any]) -> None:
-    print(f"\n{'template':>10} {'k':>2} {'ours':>7} {'reference':>9} "
-          f"{'delta':>6}  verdict   q/s")
+    print(f"\n{'mode':>10} {'template':>10} {'k':>2} {'ours':>7} "
+          f"{'reference':>9} {'delta':>6}  verdict   q/s")
     for row in report["rows"]:
         ours = "—" if row["accuracy"] is None else f"{row['accuracy']:.2f}"
         ref = "—" if row["reference"] is None else f"{row['reference']:.2f}"
         delta = "—" if row["delta"] is None else f"{row['delta']:+.2f}"
-        print(f"{row['template']:>10} {row['num_shots']:>2} {ours:>7} "
+        print(f"{row.get('mode', 'main'):>10} {row['template']:>10} "
+              f"{row['num_shots']:>2} {ours:>7} "
               f"{ref:>9} {delta:>6}  {row['verdict']:<7} "
               f"{row['questions_per_s']:>6.1f}")
     if report["random_mapper"]:
@@ -302,8 +361,20 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--clip-embeddings-val", required=True)
     parser.add_argument("--rices", required=True,
                         help="RICES in-context example pickle")
-    parser.add_argument("--shots", type=int, nargs="+",
-                        default=[0, 1, 2, 4, 8])
+    parser.add_argument("--modes", nargs="+", default=["main"],
+                        choices=list(MODE_BASELINES),
+                        help="published-table sections to replicate")
+    parser.add_argument("--random-examples", default="",
+                        help="random.pkl for --modes random")
+    parser.add_argument("--text-rices", default="",
+                        help="rices_questions_only.pkl for "
+                             "--modes text_rices")
+    parser.add_argument("--ensemble-permutations", type=int, default=5,
+                        help="permutations per question for "
+                             "--modes ensemble (reference uses 5)")
+    parser.add_argument("--shots", type=int, nargs="+", default=None,
+                        help="override shot counts for ALL modes "
+                             "(default: each mode's published list)")
     parser.add_argument("--templates", nargs="+",
                         default=["hotpotqa", "frozen"],
                         choices=list(TEMPLATE_CONFIGS))

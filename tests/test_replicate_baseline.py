@@ -152,6 +152,76 @@ def test_harness_deterministic(tmp_path, tiny_weights_dir,
 
 
 @pytest.mark.slow
+def test_harness_published_table_modes(tmp_path, tiny_weights_dir,
+                                       tiny_mapper_ckpt):
+    """--modes covers the REST of the published table (notebook cells
+    5-7): text-only prompts, question-only RICES, RANDOM examples, and
+    prompt-permutation ensembling — each mapped to its published
+    hotpotqa-template baselines."""
+    from explicit_alignment_for_vqa_tasks_tpu.tools.replicate_baseline import (
+        main,
+    )
+
+    os.chdir(REPO)
+    fixtures = write_vqa_fixtures(tmp_path)
+    report_path = tmp_path / "report.json"
+    argv = _harness_argv(
+        tiny_weights_dir, tiny_mapper_ckpt, fixtures, tmp_path / "work",
+        shots=[1], output=report_path,
+    )
+    # the fixtures' rices pickle doubles as the random/text-rices
+    # artifacts (identical schema)
+    argv += ["--modes", "no_prefix", "text_rices", "random",
+             "--random-examples", fixtures["rices"],
+             "--text-rices", fixtures["rices"],
+             "--templates", "hotpotqa"]
+    rc = main(argv)
+    assert rc == 0
+    with open(report_path) as fh:
+        report = json.load(fh)
+    refs = {row["mode"]: row["reference"] for row in report["rows"]}
+    assert refs == {"no_prefix": 38.08, "text_rices": 32.94,
+                    "random": 24.93}
+    for row in report["rows"]:
+        assert 0.0 <= row["accuracy"] <= 100.0
+
+    # ensembling needs k >= 2; run it separately with 2 permutations
+    report_path2 = tmp_path / "report2.json"
+    argv2 = _harness_argv(
+        tiny_weights_dir, tiny_mapper_ckpt, fixtures, tmp_path / "work2",
+        shots=[2], output=report_path2,
+    )
+    argv2 += ["--modes", "ensemble", "--ensemble-permutations", "2"]
+    rc = main(argv2)
+    assert rc == 0
+    with open(report_path2) as fh:
+        report2 = json.load(fh)
+    assert len(report2["rows"]) == 1
+    assert report2["rows"][0]["mode"] == "ensemble"
+    assert report2["rows"][0]["reference"] == 40.34
+
+
+@pytest.mark.slow
+def test_harness_mode_missing_artifact_raises(tmp_path, tiny_weights_dir,
+                                              tiny_mapper_ckpt):
+    """Explicitly requested modes with missing artifacts must fail loudly,
+    not silently reuse the wrong example pickle."""
+    from explicit_alignment_for_vqa_tasks_tpu.tools.replicate_baseline import (
+        main,
+    )
+
+    os.chdir(REPO)
+    fixtures = write_vqa_fixtures(tmp_path)
+    argv = _harness_argv(
+        tiny_weights_dir, tiny_mapper_ckpt, fixtures, tmp_path / "work",
+        shots=[1], output=tmp_path / "r.json",
+    )
+    argv += ["--modes", "random"]  # no --random-examples
+    with pytest.raises(ValueError, match="--random-examples"):
+        main(argv)
+
+
+@pytest.mark.slow
 def test_harness_with_int8_opts(tmp_path, tiny_weights_dir,
                                 tiny_mapper_ckpt):
     """The documented int8 accuracy-validation invocation: the harness
