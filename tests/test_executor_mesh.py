@@ -253,6 +253,16 @@ def test_pipelined_eval_fallback_int8_encoder_ffn(tmp_path):
     assert "test_evaluation/accuracy_overall" in metrics
 
 
+def test_pipelined_eval_permutation_ensembling(tmp_path):
+    """Permutation ensembling under the 3-D mesh: each ensemble member's
+    generate routes through the pipelined main twin and the sequence
+    scores (from pp decode logprobs) pick the same members as
+    single-device."""
+    _assert_pipelined_eval_matches_single_device(
+        tmp_path, num_permutations_of_in_context_examples=2,
+    )
+
+
 def test_pipelined_eval_beam(tmp_path):
     """Beam search under the 3-D mesh: GPipe encoder + beam decode on
     pipe-gathered decoder params (parallel/pipeline.py::beam_generate_pp)
