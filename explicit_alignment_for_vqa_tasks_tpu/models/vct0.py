@@ -420,27 +420,38 @@ def _generate_one_at_a_time_pp(
     num_segments: int, max_new_tokens: int, with_prefix: bool,
     n_micro: int, sequence_parallel: bool, num_beams: int = 1,
 ):
-    """Pipelined twin of _generate_one_at_a_time: each segment runs the
-    GPipe encoder (parallel/pipeline.py::t5_encode_pp), hidden states are
-    concatenated, and the decode runs tp-sharded on pipe-gathered decoder
-    params — the same composition as greedy_generate_pp."""
+    """Pipelined twin of _generate_one_at_a_time. Every segment's spliced
+    input has the same static shape, so the segments are stacked along
+    the BATCH axis and encoded in ONE pipelined pass (S separate GPipe
+    encodes would each pay their own fill/drain bubble); the hidden
+    states are then re-interleaved to (B, S*L, D) and the decode runs
+    tp-sharded on pipe-gathered decoder params. Stacking preserves batch
+    divisibility: S*B % (data x n_micro) holds whenever B's does."""
     from ..parallel.pipeline import gather_decoder_over_pipe, t5_encode_pp
 
-    hidden_list, mask_list = [], []
+    seg_inputs, seg_masks = [], []
     for seg_in, seg_mask in _one_at_a_time_segments(
         lm_params, mapper_params, cfg, prefix, tokens, mask,
         num_segments, with_prefix,
     ):
         if not with_prefix:
             seg_in = t5_lib.embed_tokens(lm_params, cfg.lm, seg_in)
-        hidden = t5_encode_pp(
-            lm_params, cfg.lm, mesh, seg_in, seg_mask,
-            n_micro=n_micro, sequence_parallel=sequence_parallel,
-        )
-        hidden_list.append(hidden)
-        mask_list.append(seg_mask)
-    encoder_hidden = jnp.concatenate(hidden_list, axis=1)
-    encoder_mask = jnp.concatenate(mask_list, axis=1)
+        seg_inputs.append(seg_in)
+        seg_masks.append(seg_mask)
+    stacked = jnp.concatenate(seg_inputs, axis=0)      # (S*B, L, D)
+    stacked_mask = jnp.concatenate(seg_masks, axis=0)  # (S*B, L)
+    hidden = t5_encode_pp(
+        lm_params, cfg.lm, mesh, stacked, stacked_mask,
+        n_micro=n_micro, sequence_parallel=sequence_parallel,
+    )
+    batch = tokens.shape[0]
+    seg_len = hidden.shape[1]
+    encoder_hidden = hidden.reshape(
+        num_segments, batch, seg_len, -1
+    ).transpose(1, 0, 2, 3).reshape(batch, num_segments * seg_len, -1)
+    encoder_mask = stacked_mask.reshape(
+        num_segments, batch, seg_len
+    ).transpose(1, 0, 2).reshape(batch, num_segments * seg_len)
     gathered = gather_decoder_over_pipe(lm_params, mesh)
     if num_beams > 1:
         return _decoding.beam_search_t5(
@@ -506,6 +517,20 @@ class VCT0Model:
         num_beams > 1 the logprobs are the winning hypothesis's true
         per-token values (tracked through beam reorders), so
         ``score_sequences`` works identically for greedy and beam."""
+        if num_beams > 1 and decoder_input_ids is not None:
+            # forced_decode_t5 teacher-forces then continues GREEDILY;
+            # silently ignoring num_beams would misreport the run
+            raise ValueError(
+                "num_beams > 1 with a forced decoder prefix "
+                "(decoder_input_modules) is not implemented — the forced "
+                "path continues greedily after teacher forcing; set "
+                "num_beams=1 or drop decoder_input_modules"
+            )
+        if num_beams > 1 and question_tokens is None:
+            raise ValueError(
+                "num_beams > 1 is not supported on the prefix-only "
+                "captioning path (greedy decode only)"
+            )
         cfg, params = self.cfg, self.params
         lm_params, mapper_params = params["lm"], params["mapper"]
         ctx = self.pipeline_ctx

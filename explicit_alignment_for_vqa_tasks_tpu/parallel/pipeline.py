@@ -563,14 +563,33 @@ def t5_encode_pp(
 ) -> jax.Array:
     """Pipelined twin of t5.t5_encode (from embedded inputs): GPipe over
     `pipe`, megatron tp over `model`, independent pipelines per `data`
-    shard. Returns (B, L, D) encoder hidden states sharded over `data`."""
+    shard. Returns (B, L, D) encoder hidden states sharded over `data`.
+
+    Sequence parallelism shards the residual stream's length over
+    `model`, so enc_len must divide tp; rather than hard-failing on the
+    eval paths (whose spliced prompt lengths the user doesn't fully
+    control), lengths are transparently right-padded with masked columns
+    (masked keys are never attended to, so real positions are exact) and
+    the hidden states sliced back."""
     batch, enc_len, _ = inputs_embeds.shape
+    tp_size = mesh.shape[MODEL_AXIS]
+    pad_cols = 0
+    if sequence_parallel and tp_size > 1 and enc_len % tp_size:
+        pad_cols = tp_size - enc_len % tp_size
+        inputs_embeds = jnp.pad(
+            inputs_embeds, ((0, 0), (0, pad_cols), (0, 0))
+        )
+        if attention_mask is not None:
+            attention_mask = jnp.pad(
+                attention_mask, ((0, 0), (0, pad_cols))
+            )
+    padded_len = enc_len + pad_cols
     _, pp, tp, seq = _check_pp_divisibility(
-        cfg, mesh, batch, enc_len, n_micro, sequence_parallel
+        cfg, mesh, batch, padded_len, n_micro, sequence_parallel
     )
     heads_local = cfg.num_heads // tp
     if attention_mask is None:
-        attention_mask = jnp.ones((batch, enc_len), dtype=jnp.int32)
+        attention_mask = jnp.ones((batch, padded_len), dtype=jnp.int32)
 
     def enc_fn(enc_p, x, mask):
         return _encoder_pipeline(
@@ -585,7 +604,8 @@ def t5_encode_pp(
         out_specs=P(DATA_AXIS, None, None),
         check_vma=False,
     )
-    return shmapped(params["encoder"], inputs_embeds, attention_mask)
+    hidden = shmapped(params["encoder"], inputs_embeds, attention_mask)
+    return hidden[:, :enc_len] if pad_cols else hidden
 
 
 def gather_decoder_over_pipe(params: Params, mesh: Mesh) -> Params:
@@ -607,6 +627,25 @@ def gather_decoder_over_pipe(params: Params, mesh: Mesh) -> Params:
         params["decoder"], specs,
     )
     return {**params, "decoder": dec}
+
+
+def encode_and_gather_pp(
+    params: Params,
+    cfg: T5Config,
+    mesh: Mesh,
+    inputs_embeds: jax.Array,           # (B, L, D)
+    attention_mask: jax.Array,          # (B, L)
+    n_micro: int,
+    sequence_parallel: bool,
+):
+    """The shared eval-twin composition: GPipe-pipelined encoder pass +
+    decoder params gathered over `pipe` (kept tp-split). Every pipelined
+    generate flavor decodes from this pair."""
+    hidden = t5_encode_pp(
+        params, cfg, mesh, inputs_embeds, attention_mask,
+        n_micro=n_micro, sequence_parallel=sequence_parallel,
+    )
+    return hidden, gather_decoder_over_pipe(params, mesh)
 
 
 @functools.partial(
@@ -631,11 +670,10 @@ def greedy_generate_pp(
     path (equivalence pinned in tests/test_executor_mesh.py)."""
     from ..ops.decoding import greedy_decode_t5
 
-    hidden = t5_encode_pp(
+    hidden, gathered = encode_and_gather_pp(
         params, cfg, mesh, inputs_embeds, attention_mask,
-        n_micro=n_micro, sequence_parallel=sequence_parallel,
+        n_micro, sequence_parallel,
     )
-    gathered = gather_decoder_over_pipe(params, mesh)
     return greedy_decode_t5(
         gathered, cfg, hidden, attention_mask, max_new_tokens
     )
@@ -662,11 +700,10 @@ def forced_generate_pp(
     (reference surface: vct0.py:466-482)."""
     from ..ops.decoding import forced_decode_t5
 
-    hidden = t5_encode_pp(
+    hidden, gathered = encode_and_gather_pp(
         params, cfg, mesh, inputs_embeds, attention_mask,
-        n_micro=n_micro, sequence_parallel=sequence_parallel,
+        n_micro, sequence_parallel,
     )
-    gathered = gather_decoder_over_pipe(params, mesh)
     return forced_decode_t5(
         gathered, cfg, hidden, attention_mask, decoder_input_ids,
         max_new_tokens,
@@ -695,11 +732,10 @@ def beam_generate_pp(
     single-device path, so sequence_scores composes identically."""
     from ..ops.decoding import beam_search_t5
 
-    hidden = t5_encode_pp(
+    hidden, gathered = encode_and_gather_pp(
         params, cfg, mesh, inputs_embeds, attention_mask,
-        n_micro=n_micro, sequence_parallel=sequence_parallel,
+        n_micro, sequence_parallel,
     )
-    gathered = gather_decoder_over_pipe(params, mesh)
     return beam_search_t5(
         gathered, cfg, hidden, attention_mask, num_beams=num_beams,
         max_new_tokens=max_new_tokens,

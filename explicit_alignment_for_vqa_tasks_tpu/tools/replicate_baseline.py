@@ -286,7 +286,30 @@ def run_sweep(args: Any) -> Dict[str, Any]:
     for mode in args.modes:
         # the non-main published rows are hotpotqa-only (notebook cells 5-7)
         templates = args.templates if mode == "main" else ["hotpotqa"]
+        if mode != "main" and set(args.templates) != {"hotpotqa", "frozen"} \
+                and args.templates != ["hotpotqa"]:
+            logger.warning(
+                "--templates %s ignored for mode '%s': its published rows "
+                "are hotpotqa-only", args.templates, mode,
+            )
         shots = args.shots if args.shots else MODE_DEFAULT_SHOTS[mode]
+        if mode != "main" and args.shots:
+            # only published points are meaningful for the extra modes
+            # (an 'n/a' row would count as passing under --strict)
+            dropped = [k for k in shots
+                       if k not in MODE_DEFAULT_SHOTS[mode]]
+            shots = [k for k in shots if k in MODE_DEFAULT_SHOTS[mode]]
+            if dropped:
+                logger.warning(
+                    "mode '%s': dropping unpublished shot counts %s "
+                    "(published: %s)", mode, dropped,
+                    MODE_DEFAULT_SHOTS[mode],
+                )
+            if not shots:
+                raise ValueError(
+                    f"--shots {args.shots} leaves no published points for "
+                    f"mode '{mode}' (published: {MODE_DEFAULT_SHOTS[mode]})"
+                )
         baselines = MODE_BASELINES[mode]
         for template in templates:
             for k in shots:

@@ -137,6 +137,25 @@ class TestVCT0:
         out_tokens, _ = vct0.generate(prefix=prefix, max_new_tokens=3)
         assert out_tokens.shape == (2, 3)
 
+    def test_beam_with_forced_decoder_raises(self, vct0):
+        """The forced-decoder path continues greedily after teacher
+        forcing; num_beams > 1 must fail loudly, not silently run greedy
+        while the run is recorded as beam search."""
+        tokens = jnp.asarray([[S, 11, 12, 1]], dtype=jnp.int32)
+        prefix = jnp.zeros((1, 1, 16), dtype=jnp.float32)
+        with pytest.raises(ValueError, match="num_beams"):
+            vct0.generate(
+                prefix=prefix, question_tokens=tokens,
+                question_mask=jnp.ones_like(tokens),
+                decoder_input_ids=jnp.asarray([[0, 21]], dtype=jnp.int32),
+                max_new_tokens=3, num_beams=2,
+            )
+
+    def test_beam_prefix_only_raises(self, vct0):
+        prefix = jnp.zeros((1, 1, 16), dtype=jnp.float32)
+        with pytest.raises(ValueError, match="prefix-only"):
+            vct0.generate(prefix=prefix, max_new_tokens=3, num_beams=2)
+
     def test_generate_forced_decoder(self, vct0):
         rng = np.random.default_rng(4)
         tokens = np.array([[S, 11, 12, 1]], dtype=np.int32)

@@ -169,6 +169,29 @@ class TestSequenceParallel:
             t5_forward_loss_pp(params, cfg, mesh, labels, embeds[:, :7],
                                mask[:, :7], sequence_parallel=True)
 
+    def test_sp_encode_autopads_indivisible_length(self, sp_setup):
+        """The EVAL twin pads sp-indivisible lengths with masked columns
+        instead of crashing (eval prompt lengths aren't fully
+        user-controlled); real positions are exact vs the single-device
+        encoder."""
+        from explicit_alignment_for_vqa_tasks_tpu.models.t5 import t5_encode
+        from explicit_alignment_for_vqa_tasks_tpu.parallel.pipeline import (
+            t5_encode_pp,
+        )
+
+        cfg, params, embeds, mask, labels, _ = sp_setup
+        mesh = make_mesh_3d(8, 2, 2, 2)
+        odd_embeds, odd_mask = embeds[:, :7], mask[:, :7]  # 7 % tp(2) != 0
+        want = t5_encode(params, cfg, inputs_embeds=odd_embeds,
+                         attention_mask=odd_mask)
+        with mesh:
+            sharded = shard_lm_params_pp(mesh, params)
+            got = t5_encode_pp(sharded, cfg, mesh, odd_embeds, odd_mask,
+                               n_micro=2, sequence_parallel=True)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
     def test_sp_grads_flow(self, sp_setup):
         cfg, params, embeds, mask, labels, _ = sp_setup
         mesh = make_mesh_3d(8, 2, 2, 2)

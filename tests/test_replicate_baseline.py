@@ -202,6 +202,27 @@ def test_harness_published_table_modes(tmp_path, tiny_weights_dir,
 
 
 @pytest.mark.slow
+def test_harness_unpublished_shots_raise(tmp_path, tiny_weights_dir,
+                                         tiny_mapper_ckpt):
+    """--shots values outside a requested mode's published table are
+    dropped (an 'n/a' row would count as passing under --strict); if
+    nothing remains the harness fails loudly."""
+    from explicit_alignment_for_vqa_tasks_tpu.tools.replicate_baseline import (
+        main,
+    )
+
+    os.chdir(REPO)
+    fixtures = write_vqa_fixtures(tmp_path)
+    argv = _harness_argv(
+        tiny_weights_dir, tiny_mapper_ckpt, fixtures, tmp_path / "work",
+        shots=[0], output=tmp_path / "r.json",
+    )
+    argv += ["--modes", "ensemble"]  # ensemble publishes k in {2, 4} only
+    with pytest.raises(ValueError, match="no published points"):
+        main(argv)
+
+
+@pytest.mark.slow
 def test_harness_mode_missing_artifact_raises(tmp_path, tiny_weights_dir,
                                               tiny_mapper_ckpt):
     """Explicitly requested modes with missing artifacts must fail loudly,
