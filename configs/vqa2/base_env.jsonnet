@@ -94,8 +94,9 @@ local caption_features = {
   },
   "tpu": {
     // Device mesh axes for pjit. Sizes of -1 mean "all remaining devices".
-    // "pipe" > 1 selects the 3-D GPipe training mesh (see the CC config;
-    // eval/generate paths use (data, model) — decode does not pipeline).
+    // "pipe" > 1 selects the 3-D GPipe mesh: training AND every eval
+    // generate mode pipeline the encoder over `pipe`; decode runs
+    // tp-sharded on pipe-gathered decoder params (docs/scaling.md).
     "mesh": {"data": -1, "pipe": 1, "model": 1},
     "compute_dtype": "bfloat16",
     "params_dtype": "bfloat16",
