@@ -376,28 +376,36 @@ def _generate_one_at_a_time(
     num_segments: int, max_new_tokens: int, with_prefix: bool,
     num_beams: int = 1,
 ):
-    """Blockwise encoder: encode each segment separately, concatenate
-    encoder states + masks for the decoder (reference: vct0.py:427-444;
-    num_beams rides through to the decode like HF generate's)."""
-    hidden_list, mask_list = [], []
+    """Blockwise encoder (reference: vct0.py:427-444): segments are
+    encoded independently and their states concatenated for the decoder.
+    The reference loops S separate encoder passes; segments share one
+    static shape, so they stack along the BATCH axis into ONE encode
+    (identical math — encoder rows are independent — and one big batch
+    keeps the MXU fed at small B). num_beams rides through to the decode
+    like HF generate's."""
+    seg_inputs, seg_masks = [], []
     for seg_in, seg_mask in _one_at_a_time_segments(
         lm_params, mapper_params, cfg, prefix, tokens, mask,
         num_segments, with_prefix,
     ):
-        if with_prefix:
-            hidden = t5_lib.t5_encode(
-                lm_params, cfg.lm, inputs_embeds=seg_in,
-                attention_mask=seg_mask,
-            )
-        else:
-            hidden = t5_lib.t5_encode(
-                lm_params, cfg.lm, input_ids=seg_in,
-                attention_mask=seg_mask,
-            )
-        hidden_list.append(hidden)
-        mask_list.append(seg_mask)
-    encoder_hidden = jnp.concatenate(hidden_list, axis=1)
-    encoder_mask = jnp.concatenate(mask_list, axis=1)
+        if not with_prefix:
+            seg_in = t5_lib.embed_tokens(lm_params, cfg.lm, seg_in)
+        seg_inputs.append(seg_in)
+        seg_masks.append(seg_mask)
+    stacked = jnp.concatenate(seg_inputs, axis=0)      # (S*B, L, D)
+    stacked_mask = jnp.concatenate(seg_masks, axis=0)
+    hidden = t5_lib.t5_encode(
+        lm_params, cfg.lm, inputs_embeds=stacked,
+        attention_mask=stacked_mask,
+    )
+    batch = tokens.shape[0]
+    seg_len = hidden.shape[1]
+    encoder_hidden = hidden.reshape(
+        num_segments, batch, seg_len, -1
+    ).transpose(1, 0, 2, 3).reshape(batch, num_segments * seg_len, -1)
+    encoder_mask = stacked_mask.reshape(
+        num_segments, batch, seg_len
+    ).transpose(1, 0, 2).reshape(batch, num_segments * seg_len)
     if num_beams > 1:
         return _decoding.beam_search_t5(
             lm_params, cfg.lm, encoder_hidden, encoder_mask,
