@@ -572,6 +572,8 @@ def t5_encode_pp(
     (masked keys are never attended to, so real positions are exact) and
     the hidden states sliced back."""
     batch, enc_len, _ = inputs_embeds.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((batch, enc_len), dtype=jnp.int32)
     tp_size = mesh.shape[MODEL_AXIS]
     pad_cols = 0
     if sequence_parallel and tp_size > 1 and enc_len % tp_size:
@@ -579,17 +581,12 @@ def t5_encode_pp(
         inputs_embeds = jnp.pad(
             inputs_embeds, ((0, 0), (0, pad_cols), (0, 0))
         )
-        if attention_mask is not None:
-            attention_mask = jnp.pad(
-                attention_mask, ((0, 0), (0, pad_cols))
-            )
+        attention_mask = jnp.pad(attention_mask, ((0, 0), (0, pad_cols)))
     padded_len = enc_len + pad_cols
     _, pp, tp, seq = _check_pp_divisibility(
         cfg, mesh, batch, padded_len, n_micro, sequence_parallel
     )
     heads_local = cfg.num_heads // tp
-    if attention_mask is None:
-        attention_mask = jnp.ones((batch, padded_len), dtype=jnp.int32)
 
     def enc_fn(enc_p, x, mask):
         return _encoder_pipeline(
