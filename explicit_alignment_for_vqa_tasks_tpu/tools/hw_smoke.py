@@ -72,6 +72,31 @@ def main() -> None:
         print(f"hw_smoke eval OK: accuracy_overall={acc:.2f}, "
               f"predictions={len(predictions)}", flush=True)
 
+    # ---- 1b. the exotic eval modes on the real chip: blockwise
+    # one-at-a-time encoder (round-3: ONE stacked encode) and beam ----
+    with tempfile.TemporaryDirectory() as td:
+        tmp = Path(td)
+        fixtures = e2e.write_vqa_fixtures(tmp)
+        config = e2e.make_test_config(
+            tmp, fixtures, pass_examples_through_encoder_one_at_a_time=1,
+        )
+        config.tpu.compute_dtype = "bfloat16"
+        config.tpu.params_dtype = "bfloat16"
+        executor = e2e.build_executor(config)
+        metrics = executor.test()
+        assert 0.0 <= metrics["test_evaluation/accuracy_overall"] <= 100.0
+        print("hw_smoke one-at-a-time eval OK", flush=True)
+    with tempfile.TemporaryDirectory() as td:
+        tmp = Path(td)
+        fixtures = e2e.write_vqa_fixtures(tmp)
+        config = e2e.make_test_config(tmp, fixtures, num_beams=2)
+        config.tpu.compute_dtype = "bfloat16"
+        config.tpu.params_dtype = "bfloat16"
+        executor = e2e.build_executor(config)
+        metrics = executor.test()
+        assert 0.0 <= metrics["test_evaluation/accuracy_overall"] <= 100.0
+        print("hw_smoke beam eval OK", flush=True)
+
     # ---- 2. CC mapper training + checkpoint + resume, bf16 compute ----
     with tempfile.TemporaryDirectory() as td:
         tmp = Path(td)
