@@ -31,6 +31,12 @@ def main() -> None:
                         help="int8 encoder FFN on the MXU (opt-in bulk-"
                         "eval mode, 1.27x the encoder; raises the "
                         "scoped-VMEM limit)")
+    parser.add_argument("--int8_groups", type=int, default=0,
+                        help="contraction groups for the int8 encoder "
+                             "quantizers: 0 = auto (the grouped default, "
+                             "8 at T0-3B widths), 1 = per-channel (the "
+                             "round-3 initial scheme) — for the "
+                             "grouped-vs-per-channel flagship A/B")
     parser.add_argument("--int8_attn", action="store_true",
                         help="int8 encoder QKV/O projections around the "
                         "bf16 attention core (opt-in, composes with "
@@ -80,18 +86,19 @@ def main() -> None:
     )
     params = init_vct0_params(jax.random.PRNGKey(0), cfg,
                               param_dtype=jnp.bfloat16)
+    groups = "auto" if args.int8_groups <= 0 else args.int8_groups
     if args.int8_ffn:
         from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (
             quantize_encoder_ffn,
         )
 
-        params["lm"] = quantize_encoder_ffn(params["lm"])
+        params["lm"] = quantize_encoder_ffn(params["lm"], groups=groups)
     if args.int8_attn:
         from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (
             quantize_encoder_attn,
         )
 
-        params["lm"] = quantize_encoder_attn(params["lm"])
+        params["lm"] = quantize_encoder_attn(params["lm"], groups=groups)
     model = VCT0Model(cfg, params)
 
     B, L, P = args.batch, args.seq, args.shots + 1
