@@ -97,6 +97,8 @@ local caption_features = {
     // "pipe" > 1 selects the 3-D GPipe mesh: training AND every eval
     // generate mode pipeline the encoder over `pipe`; decode runs
     // tp-sharded on pipe-gathered decoder params (docs/scaling.md).
+    // Optional pipeline knobs (defaults shown): "n_micro": 2 microbatches
+    // per data shard, "sequence_parallel": false.
     "mesh": {"data": -1, "pipe": 1, "model": 1},
     "compute_dtype": "bfloat16",
     "params_dtype": "bfloat16",
