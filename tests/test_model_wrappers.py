@@ -107,6 +107,58 @@ class TestVCT0:
         )
         assert out_tokens.shape == (1, 3)
 
+    def test_one_at_a_time_matches_per_segment_loop(self, vct0):
+        """The stacked-batch encode (one t5_encode over (S*B, L)) must
+        reproduce the reference's per-segment composition exactly. Pinned
+        independently because BOTH production paths (single-device and
+        pipelined) share the stacking code — a reshape bug would be
+        invisible to their mutual comparison."""
+        from explicit_alignment_for_vqa_tasks_tpu.models import t5 as t5_lib
+        from explicit_alignment_for_vqa_tasks_tpu.models.vct0 import (
+            _one_at_a_time_segments,
+        )
+        from explicit_alignment_for_vqa_tasks_tpu.ops.decoding import (
+            greedy_decode_t5,
+        )
+
+        rng = np.random.default_rng(7)
+        B, S, L = 3, 2, 5
+        tokens = np.asarray(
+            rng.integers(10, 100, size=(B, S, L)), dtype=np.int32
+        )
+        for i in range(S):
+            tokens[:, i, 0] = vct0.cfg.sentinel_base - i  # <extra_id_i>
+        tokens = jnp.asarray(tokens)
+        mask = jnp.ones((B, S, L), dtype=jnp.int32)
+        prefix = jnp.asarray(
+            rng.standard_normal((B, S, 16)).astype(np.float32)
+        )
+
+        got_tok, got_lp = vct0.generate(
+            prefix=prefix, question_tokens=tokens, question_mask=mask,
+            pass_examples_through_encoder_one_at_a_time=True,
+            max_new_tokens=4,
+        )
+
+        # reference composition: S separate encoder passes, concatenated
+        lm, mp, cfg = vct0.params["lm"], vct0.params["mapper"], vct0.cfg
+        hiddens, masks = [], []
+        for seg_in, seg_mask in _one_at_a_time_segments(
+            lm, mp, cfg, prefix, tokens, mask, S, True
+        ):
+            hiddens.append(t5_lib.t5_encode(
+                lm, cfg.lm, inputs_embeds=seg_in, attention_mask=seg_mask
+            ))
+            masks.append(seg_mask)
+        want_tok, want_lp = greedy_decode_t5(
+            lm, cfg.lm, jnp.concatenate(hiddens, axis=1),
+            jnp.concatenate(masks, axis=1), 4,
+        )
+        np.testing.assert_array_equal(np.asarray(got_tok),
+                                      np.asarray(want_tok))
+        np.testing.assert_allclose(np.asarray(got_lp), np.asarray(want_lp),
+                                   atol=1e-5)
+
     def test_one_at_a_time_honors_num_beams(self, vct0):
         """num_beams rides through the blockwise-encoder mode (the
         reference forwards it to lm.generate in every path). With ONE
