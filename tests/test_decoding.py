@@ -80,6 +80,53 @@ class TestT5GreedyDecode:
         np.testing.assert_array_equal(got, want)
         assert np.all(np.asarray(logprobs) <= 1e-6)
 
+    def test_early_exit_when_all_rows_finish(self, t5_pair):
+        """The while_loop decode exits once every row emitted EOS; the
+        pre-initialized buffers must supply exactly what the fixed-count
+        loop would have written (pad tokens, logprob 0). The model's
+        actual first greedy token is declared to be EOS, so every row
+        finishes at step 1 and the loop body runs exactly once; HF
+        generate with the same eos override is the reference."""
+        import dataclasses
+
+        hf_model, cfg, params = t5_pair
+        rng = np.random.default_rng(11)
+        ids = rng.integers(2, 64, size=(1, 6)).astype(np.int64)
+        mask = np.ones((1, 6), dtype=np.int64)
+        hidden = t5_encode(
+            params, cfg, input_ids=jnp.asarray(ids.astype(np.int32)),
+            attention_mask=jnp.asarray(mask.astype(np.int32)),
+        )
+        first, _ = greedy_decode_t5(
+            params, cfg, hidden, jnp.asarray(mask.astype(np.int32)),
+            max_new_tokens=1,
+        )
+        x0 = int(np.asarray(first)[0, 0])
+        assert x0 != cfg.pad_token_id  # rig must be distinguishable
+
+        T = 12
+        cfg_eos = dataclasses.replace(cfg, eos_token_id=x0)
+        tokens, logprobs = greedy_decode_t5(
+            params, cfg_eos, hidden, jnp.asarray(mask.astype(np.int32)),
+            max_new_tokens=T,
+        )
+        tokens, logprobs = np.asarray(tokens), np.asarray(logprobs)
+        with torch.no_grad():
+            want = hf_model.generate(
+                input_ids=torch.tensor(ids),
+                attention_mask=torch.tensor(mask),
+                max_length=T + 1, do_sample=False, num_beams=1,
+                eos_token_id=x0, pad_token_id=cfg.pad_token_id,
+            ).numpy()[:, 1:]
+        if want.shape[1] < T:  # HF may stop the sequence short
+            want = np.pad(want, ((0, 0), (0, T - want.shape[1])),
+                          constant_values=cfg.pad_token_id)
+        np.testing.assert_array_equal(tokens, want)
+        assert tokens[0, 0] == x0
+        # the untouched buffer tail must be exactly 0 logprob
+        np.testing.assert_array_equal(logprobs[:, 1:],
+                                      np.zeros((1, T - 1), np.float32))
+
     def test_forced_decoder_prefix(self, t5_pair):
         hf_model, cfg, params = t5_pair
         rng = np.random.default_rng(4)
