@@ -367,6 +367,19 @@ class TestFewShotVQAEndToEnd:
         metrics = executor.test()
         assert "test_evaluation/accuracy_overall" in metrics
 
+    def test_one_at_a_time_with_beam(self, tmp_path):
+        """num_beams rides through the blockwise-encoder dispatch (the
+        executor forwards it like every other mode)."""
+        fixtures = write_vqa_fixtures(tmp_path)
+        config = make_test_config(
+            tmp_path, fixtures,
+            pass_examples_through_encoder_one_at_a_time=1,
+            num_beams=2,
+        )
+        executor = build_executor(config)
+        metrics = executor.test()
+        assert "test_evaluation/accuracy_overall" in metrics
+
 
 class TestCLITestMode:
     def test_cli_eval_with_checkpoint(self, tmp_path, monkeypatch):
