@@ -12,6 +12,11 @@ scan body so XLA cannot hoist the encode):
       XLA's own FFN fusion at d_ff=5120/17.8k rows is already excellent;
       the kernel's in-program RMS-norm/gelu serialize against the MXU.
       fused_t5_ffn stays available behind tpu.fused_ffn, default OFF.)
+Opt-in int8 modes (v5e, 2026-08-18, same methodology):
+  fused attn + int8 FFN     204.8 ms/encode  211 TFLOP/s-equiv
+  + int8 qkv/o projections  170.2 ms/encode  254 TFLOP/s-equiv (1.53x bf16)
+  per-channel scales (G=1)  170.6 ms/encode  (grouping G=8 is FREE ->
+      the drift-reducing grouped quantizers stay the default)
 """
 import dataclasses
 import time

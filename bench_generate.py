@@ -37,6 +37,15 @@ def main() -> None:
                              "8 at T0-3B widths), 1 = per-channel (the "
                              "round-3 initial scheme) — for the "
                              "grouped-vs-per-channel flagship A/B")
+    parser.add_argument("--eos_step1", action="store_true",
+                        help="zero the lm_head and set eos=0 so every row "
+                        "emits EOS at decode step 1 — measures the "
+                        "early-exit while_loop's best case on hardware "
+                        "(encoder + splice + prefill + one step), i.e. "
+                        "the floor real short VQA answers approach; the "
+                        "default run (random weights never emit EOS) "
+                        "pays the full --decode_steps budget and is the "
+                        "conservative bound")
     parser.add_argument("--int8_attn", action="store_true",
                         help="int8 encoder QKV/O projections around the "
                         "bf16 attention core (opt-in, composes with "
@@ -84,8 +93,19 @@ def main() -> None:
         mapper=MapperConfig(prefix_size=768, d_model=lm_cfg.d_model,
                             prefix_length=10, clip_length=10),
     )
+    if args.eos_step1:
+        # all-zero lm_head -> all logits equal -> argmax = token 0; with
+        # eos_token_id=0 every row finishes at step 1 and the decode
+        # while_loop exits after a single iteration (bit-exact semantics
+        # pinned vs HF in tests/test_decoding.py).
+        import dataclasses
+
+        lm_cfg = dataclasses.replace(lm_cfg, eos_token_id=0)
+        cfg = VCT0Config(lm=lm_cfg, mapper=cfg.mapper)
     params = init_vct0_params(jax.random.PRNGKey(0), cfg,
                               param_dtype=jnp.bfloat16)
+    if args.eos_step1:
+        params["lm"]["lm_head"] = jnp.zeros_like(params["lm"]["lm_head"])
     groups = "auto" if args.int8_groups <= 0 else args.int8_groups
     if args.int8_ffn:
         from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (
@@ -141,6 +161,7 @@ def main() -> None:
             "batch": B, "prompt_tokens": L, "shots": args.shots,
             "decode_steps": args.decode_steps,
             "spliced_length": L + 9 * P,
+            "eos_step1": bool(args.eos_step1),
             "int8_cross_kv": bool(args.int8_cross_kv),
             "int8_encoder_ffn": bool(args.int8_ffn),
             "int8_encoder_attn": bool(args.int8_attn),
