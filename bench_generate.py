@@ -50,6 +50,11 @@ def main() -> None:
                         help="int8 encoder QKV/O projections around the "
                         "bf16 attention core (opt-in, composes with "
                         "--int8_ffn)")
+    parser.add_argument("--int8_decoder", action="store_true",
+                        help="weight-only int8 decode-step matmuls "
+                        "(self q/k/v/o, cross q/o, FFN) — halves the "
+                        "per-step HBM weight stream; composes with the "
+                        "other int8 flags")
     args = parser.parse_args()
 
     if args.fused_ffn or args.int8_ffn or args.int8_attn:
@@ -87,7 +92,8 @@ def main() -> None:
                             fused_encoder_ffn=args.fused_ffn,
                             int8_cross_kv=args.int8_cross_kv,
                             int8_encoder_ffn=args.int8_ffn,
-                            int8_encoder_attn=args.int8_attn)
+                            int8_encoder_attn=args.int8_attn,
+                            int8_decoder_step=args.int8_decoder)
     cfg = VCT0Config(
         lm=lm_cfg,
         mapper=MapperConfig(prefix_size=768, d_model=lm_cfg.d_model,
@@ -119,6 +125,15 @@ def main() -> None:
         )
 
         params["lm"] = quantize_encoder_attn(params["lm"], groups=groups)
+    if args.int8_decoder:
+        from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (
+            quantize_decoder_step,
+        )
+
+        # drop_bf16: the bf16 decoder copies (~2.7 GB) are dead in eval
+        # and keeping both resident OOMs at the B=64 capacity point
+        params["lm"] = quantize_decoder_step(params["lm"], groups=groups,
+                                             drop_bf16=True)
     model = VCT0Model(cfg, params)
 
     B, L, P = args.batch, args.seq, args.shots + 1
@@ -165,6 +180,7 @@ def main() -> None:
             "int8_cross_kv": bool(args.int8_cross_kv),
             "int8_encoder_ffn": bool(args.int8_ffn),
             "int8_encoder_attn": bool(args.int8_attn),
+            "int8_decoder_step": bool(args.int8_decoder),
         },
     }))
 

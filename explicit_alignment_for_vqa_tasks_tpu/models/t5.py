@@ -106,6 +106,18 @@ class T5Config:
     # fused_encoder_attention (the core stays Pallas bf16) and
     # params["encoder"]["self_attn_q8"] from quantize_encoder_attn().
     int8_encoder_attn: bool = False
+    # WEIGHT-ONLY int8 for the incremental decode step (t5_decode_step):
+    # self-attention q/k/v/o, cross-attention q/o, and the decoder FFN
+    # weights stream from HBM as int8 (half the bf16 bytes) and convert
+    # to bf16 inside the dot — activations stay bf16, so unlike the
+    # W8A8 encoder modes there is no activation quantization and no
+    # SmoothQuant calibration to run. Decode at query-length 1 is
+    # weight-STREAMING bound (PARITY.md decode accounting), which is why
+    # halved weight bytes translate to step time. Teacher-forced
+    # full-sequence passes (t5_decode: training loss, rescoring) are NOT
+    # affected. Requires params["decoder"]["step_q8"] from
+    # quantize_decoder_step(). Opt-in (tpu.int8_decoder_step).
+    int8_decoder_step: bool = False
 
     @classmethod
     def t0_3b(cls, **kw) -> "T5Config":
@@ -350,6 +362,25 @@ def _ffn_block(layer_p: Params, x: jax.Array, cfg: T5Config) -> jax.Array:
                       preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+def _matmul_w8(x: jax.Array, w8: jax.Array, scale: jax.Array) -> jax.Array:
+    """Weight-only int8 matmul: (B, Q, K) x int8 (K, F) with f32 (G, F)
+    per-(contraction-group, output-channel) scales. The int8 weights
+    stream from HBM at half the bf16 bytes and convert to ``x.dtype``
+    inside the dot fusion (exact: |w8| <= 127 is representable in bf16);
+    per-group partials accumulate in fp32 before the scales apply, so
+    the result equals the dequantized-bf16 matmul bit-for-bit in real
+    arithmetic. Returns (B, Q, F) fp32."""
+    g, f = scale.shape
+    k = w8.shape[0]
+    xg = x.reshape(x.shape[0], x.shape[1], g, k // g)
+    part = jnp.einsum(
+        "bqgk,gkf->bqgf", xg, w8.reshape(g, k // g, f).astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.einsum("bqgf,gf->bqf", part, scale,
+                      preferred_element_type=jnp.float32)
+
+
 def _pick_groups(k_dim: int, requested) -> int:
     """Resolve the contraction-group count for int8 quantization.
     ``"auto"`` picks the largest g <= 8 such that g divides k_dim and the
@@ -486,6 +517,57 @@ def quantize_encoder_attn(params: Params, groups="auto",
     out = dict(params)
     out["encoder"] = dict(enc)
     out["encoder"]["self_attn_q8"] = q8
+    return out
+
+
+def quantize_decoder_step(params: Params, groups="auto",
+                          drop_bf16: bool = False) -> Params:
+    """Host-side, once: WEIGHT-ONLY int8 quantization of every matmul in
+    the incremental decode step for cfg.int8_decoder_step — self-attn
+    q/k/v/o, cross-attn q/o (cross k/v live in the decode cache; int8
+    there is cfg.int8_cross_kv), and the decoder FFN wi_0/wi_1/wo.
+
+    Returns a NEW params dict whose ["decoder"]["step_q8"] holds the
+    scan-stacked int8 weights + (L, G, F) grouped scales, sliced per
+    layer by the decode scan INSTEAD of the bf16 weights they replace.
+    Activations are not quantized (decode is weight-streaming bound, not
+    MXU bound — see PARITY.md decode accounting), so there is no
+    SmoothQuant/act_max machinery here and the only drift source is
+    weight rounding: far smaller than the encoder W8A8 modes'.
+
+    ``drop_bf16=True`` additionally REMOVES the quantized bf16 matmul
+    weights from the decoder subtrees (keeping cross_attn k/v — the
+    decode cache is built from them — plus norms and rel_bias). At T0-3B
+    scale the bf16 copies are ~2.7 GB of HBM that every eval path leaves
+    dead (all eval decoding goes through t5_decode_step), and at the
+    B=64 decode-capacity point keeping both copies resident OOMs the
+    chip. Teacher-forced full-sequence passes (t5_decode: the training
+    loss) raise a clear error on dropped weights — the mode is eval-only
+    by design."""
+    dec = params["decoder"]
+    q8 = {}
+    dropped = {sub: set() for sub in ("self_attn", "cross_attn", "ffn")}
+    for sub, names, prefix in (
+        ("self_attn", ("q", "k", "v", "o"), "self_"),
+        ("cross_attn", ("q", "o"), "cross_"),
+        ("ffn", ("wi_0", "wi_1", "wo"), ""),
+    ):
+        for name in names:
+            if name not in dec[sub]:
+                continue  # non-gated FFN has no wi_1
+            w = dec[sub][name]
+            q, sc = _quant_stacked_i8(w, _pick_groups(w.shape[1], groups))
+            q8[prefix + name] = jnp.asarray(q)
+            q8[prefix + name + "_s"] = jnp.asarray(sc)
+            dropped[sub].add(name)
+    out = dict(params)
+    out["decoder"] = dict(dec)
+    if drop_bf16:
+        for sub, names in dropped.items():
+            out["decoder"][sub] = {
+                k: v for k, v in dec[sub].items() if k not in names
+            }
+    out["decoder"]["step_q8"] = q8
     return out
 
 
@@ -745,6 +827,14 @@ def t5_decode(
 ) -> jax.Array:
     """Full-sequence (teacher-forced) decoding; returns fp32 logits."""
     dec = params["decoder"]
+    if "q" not in dec["self_attn"]:
+        raise ValueError(
+            "the bf16 decoder matmul weights were dropped by "
+            "quantize_decoder_step(drop_bf16=True) — int8_decoder_step "
+            "is an eval-only mode; teacher-forced passes (training loss "
+            "/ rescoring) need the bf16 decoder, so disable "
+            "tpu.int8_decoder_step for this run"
+        )
     x = embed_tokens(params, cfg, decoder_input_ids)
     batch, qlen, _ = x.shape
     klen = encoder_hidden.shape[1]
@@ -878,16 +968,52 @@ def t5_decode_step(
             "path only; disable fused_decode_attention"
         )
 
+    use_q8 = cfg.int8_decoder_step
+    if use_q8 and "step_q8" not in dec:
+        raise ValueError(
+            "int8_decoder_step requires params['decoder']['step_q8'] "
+            "(models.t5.quantize_decoder_step)"
+        )
+
     def layer(carry, scanned):
         y = carry
         (layer_idx, layer_p, cross_p, ln0, ln1, ln2, ffn_p, k_buf, v_buf,
-         cross_c) = scanned
+         cross_c, q8c) = scanned
         if cfg.fused_decode_attention or not cfg.int8_cross_kv:
             ck, cv = cross_c.get("k"), cross_c.get("v")
+
+        # weight-only int8 (cfg.int8_decoder_step): the bf16 weight
+        # slices in layer_p/cross_p/ffn_p go unused on this branch and
+        # XLA DCEs their per-layer dynamic-slices, so only int8 bytes
+        # stream per step
+        def proj(x, bf_w, q8_name):
+            if use_q8:
+                out = _matmul_w8(x, q8c[q8_name], q8c[q8_name + "_s"])
+            else:
+                out = jnp.einsum(
+                    "bld,de->ble", x, bf_w.astype(x.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+            out = out.astype(y.dtype)
+            return out.reshape(
+                out.shape[0], out.shape[1], cfg.num_heads, -1
+            )
+
+        def out_proj(attn_flat, bf_w, q8_name):
+            if use_q8:
+                return _matmul_w8(attn_flat, q8c[q8_name],
+                                  q8c[q8_name + "_s"]).astype(y.dtype)
+            return jnp.einsum(
+                "ble,ed->bld", attn_flat, bf_w.astype(y.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(y.dtype)
+
         sa_in = rms_norm(y, ln0, cfg.layer_norm_epsilon)
-        q = _project(sa_in, layer_p["q"], cfg.num_heads)
-        k_new = _project(sa_in, layer_p["k"], cfg.num_heads)
-        v_new = _project(sa_in, layer_p["v"], cfg.num_heads)
+        # .get(): with quantize_decoder_step(drop_bf16=True) the bf16
+        # matmul weights are absent from the tree entirely
+        q = proj(sa_in, layer_p.get("q"), "self_q")
+        k_new = proj(sa_in, layer_p.get("k"), "self_k")
+        v_new = proj(sa_in, layer_p.get("v"), "self_v")
         k_buf = jax.lax.dynamic_update_slice(
             k_buf, k_new.astype(k_buf.dtype), (0, index, 0, 0)
         )
@@ -896,13 +1022,10 @@ def t5_decode_step(
         )
         attn = _attention(q, k_buf, v_buf, self_bias, y.dtype)
         attn = attn.reshape(attn.shape[0], attn.shape[1], -1)
-        y = y + jnp.einsum(
-            "ble,ed->bld", attn, layer_p["o"].astype(y.dtype),
-            preferred_element_type=jnp.float32,
-        ).astype(y.dtype)
+        y = y + out_proj(attn, layer_p.get("o"), "self_o")
 
         ca_in = rms_norm(y, ln1, cfg.layer_norm_epsilon)
-        cq = _project(ca_in, cross_p["q"], cfg.num_heads)
+        cq = proj(ca_in, cross_p.get("q"), "cross_q")
         if cfg.fused_decode_attention:
             cattn = cross_attention_decode(
                 cq.reshape(cq.shape[0], -1), cross_k_flat, cross_v_flat,
@@ -938,13 +1061,19 @@ def t5_decode_step(
         else:
             cattn = _attention(cq, ck, cv, cross_bias, y.dtype)
             cattn = cattn.reshape(cattn.shape[0], cattn.shape[1], -1)
-        y = y + jnp.einsum(
-            "ble,ed->bld", cattn, cross_p["o"].astype(y.dtype),
-            preferred_element_type=jnp.float32,
-        ).astype(y.dtype)
+        y = y + out_proj(cattn, cross_p.get("o"), "cross_o")
 
         ffn_in = rms_norm(y, ln2, cfg.layer_norm_epsilon)
-        y = y + _ffn_block(ffn_p, ffn_in, cfg)
+        if use_q8:
+            hidden = gelu_new(_matmul_w8(
+                ffn_in, q8c["wi_0"], q8c["wi_0_s"]).astype(y.dtype))
+            if cfg.is_gated_act:
+                hidden = hidden * _matmul_w8(
+                    ffn_in, q8c["wi_1"], q8c["wi_1_s"]).astype(y.dtype)
+            y = y + _matmul_w8(hidden, q8c["wo"],
+                               q8c["wo_s"]).astype(y.dtype)
+        else:
+            y = y + _ffn_block(ffn_p, ffn_in, cfg)
         return y, (k_buf, v_buf)
 
     nl = cfg.num_decoder_layers
@@ -960,11 +1089,15 @@ def t5_decode_step(
         }
     else:
         cross_scan = {"k": cache["cross_k"], "v": cache["cross_v"]}
+    if use_q8:
+        q8_scan = dec["step_q8"]
+    else:
+        q8_scan = {"_": jnp.zeros((nl,), dtype=jnp.int32)}
     scanned = (
         jnp.arange(nl, dtype=jnp.int32),
         dec["self_attn"], dec["cross_attn"], dec["ln0"], dec["ln1"],
         dec["ln2"], dec["ffn"], cache["self_k"], cache["self_v"],
-        cross_scan,
+        cross_scan, q8_scan,
     )
     hidden, (new_k, new_v) = jax.lax.scan(layer, x, scanned)
     hidden = rms_norm(hidden, dec["final_ln"], cfg.layer_norm_epsilon)

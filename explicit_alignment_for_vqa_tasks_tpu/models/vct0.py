@@ -761,6 +761,11 @@ class VCT0Model:
             lm = t5_lib.quantize_encoder_attn(
                 lm, groups=groups, act_max=stats["attn"], alpha=alpha
             )
+        if lm_cfg.int8_decoder_step and "step_q8" not in lm["decoder"]:
+            # weight-only (no activation stats involved); quantized here
+            # so the deferred-calibration path leaves no mode behind
+            lm = t5_lib.quantize_decoder_step(lm, groups=groups,
+                                              drop_bf16=True)
         self.params = dict(self.params)
         self.params["lm"] = lm
         return stats

@@ -95,11 +95,12 @@ def t5_param_specs(params: Any) -> Any:
     def spec_for(path: tuple, leaf: Any) -> P:
         names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
         key = names[-1] if names else ""
-        if "ffn_q8" in names or "self_attn_q8" in names:
+        if "ffn_q8" in names or "self_attn_q8" in names \
+                or "step_q8" in names:
             # int8 weights+scales feed opaque pallas_calls
-            # (fused_t5_ffn_q8 / fused_t5_ln_qkv_q8); keep the subtrees
-            # replicated so GSPMD doesn't shard weights while their
-            # dequant scales replicate
+            # (fused_t5_ffn_q8 / fused_t5_ln_qkv_q8) or the grouped
+            # decode-step matmuls; keep the subtrees replicated so GSPMD
+            # doesn't shard weights while their dequant scales replicate
             return P()
         stacked = leaf.ndim == 3  # (layers, in, out)
         if key in ("q", "k", "v", "wi_0", "wi_1"):

@@ -105,6 +105,9 @@ def main() -> None:
     parser.add_argument("--int8_cross_kv", action="store_true",
                         help="profile the int8 cross-KV decode (the B=64 "
                         "production point)")
+    parser.add_argument("--int8_decoder", action="store_true",
+                        help="weight-only int8 decode-step matmuls "
+                        "(cfg.int8_decoder_step)")
     args = parser.parse_args()
 
     import jax
@@ -116,8 +119,13 @@ def main() -> None:
 
     enable_compilation_cache()
     cfg = T5Config.t0_3b(dtype=jnp.bfloat16,
-                         int8_cross_kv=args.int8_cross_kv)
+                         int8_cross_kv=args.int8_cross_kv,
+                         int8_decoder_step=args.int8_decoder)
     params = init_t5_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    if args.int8_decoder:
+        from ..models.t5 import quantize_decoder_step
+
+        params = quantize_decoder_step(params, drop_bf16=True)
     embeds = jax.random.normal(
         jax.random.PRNGKey(1), (args.batch, args.enc_len, cfg.d_model),
         dtype=jnp.bfloat16,

@@ -78,6 +78,12 @@ class FewShotVQAExecutor(BaseExecutor):
             # measured configuration, so fall back to the 2-D mesh where
             # the q8 kernels actually execute
             return "int8 encoder modes have no pipelined encoder twin"
+        if bool(tpu_cfg.get("int8_decoder_step", False)):
+            # pipelined eval gathers decoder params over pipe before the
+            # tp-only decode; the q8 step weights are untested under that
+            # gather, so fall back to the 2-D mesh where the mode is
+            # pinned token-exact (tests/test_generate_mesh.py)
+            return "int8_decoder_step has no pipelined-eval coverage"
         return None
 
     def _maybe_calibrate_int8(self) -> None:

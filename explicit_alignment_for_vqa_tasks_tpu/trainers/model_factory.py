@@ -138,6 +138,10 @@ def build_model_from_config(config: Any) -> Tuple[Any, Any]:
             "int8_encoder_attn",
             bool(config.get("tpu", {}).get("int8_encoder_attn", False)),
         )
+        overrides.setdefault(
+            "int8_decoder_step",
+            bool(config.get("tpu", {}).get("int8_decoder_step", False)),
+        )
         lm_cfg = base(dtype=compute_dtype, **overrides)
         cfg = VCT0Config.from_model_args(
             model_args, lm_cfg=lm_cfg,
@@ -177,6 +181,16 @@ def build_model_from_config(config: Any) -> Tuple[Any, Any]:
             from ..models.t5 import quantize_encoder_attn
 
             params["lm"] = quantize_encoder_attn(params["lm"])
+        if lm_cfg.int8_decoder_step:
+            # weight-only: no activation calibration needed, quantize
+            # unconditionally at build time (tpu.int8_decoder_step).
+            # drop_bf16: eval-only mode — keeping the ~2.7 GB bf16
+            # decoder copies resident would undo the B=64 capacity win;
+            # the training loss raises loudly if it runs under this flag
+            from ..models.t5 import quantize_decoder_step
+
+            params["lm"] = quantize_decoder_step(params["lm"],
+                                                 drop_bf16=True)
         return VCT0Model(cfg, params), "vct0"
 
     if model_class in ("ClipCaptionPrefix", "ClipCaptionModel"):

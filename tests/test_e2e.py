@@ -233,6 +233,25 @@ class TestFewShotVQAEndToEnd:
         assert "test_evaluation/accuracy_overall" in metrics
         assert 0.0 <= metrics["test_evaluation/accuracy_overall"] <= 100.0
 
+    def test_int8_decoder_step_eval(self, tmp_path):
+        """tpu.int8_decoder_step runs the flagship eval end-to-end: the
+        factory quantizes the decode-step matmul weights once at build
+        time (weight-only, drop_bf16 — the bf16 decoder copies are
+        removed) and every generate path decodes through the int8
+        weights."""
+        fixtures = write_vqa_fixtures(tmp_path)
+        config = make_test_config(tmp_path, fixtures)
+        config.tpu.int8_decoder_step = True
+        executor = build_executor(config)
+        lm_params = executor.model.params["lm"]
+        assert "step_q8" in lm_params["decoder"]
+        assert "q" not in lm_params["decoder"]["self_attn"]  # dropped
+        assert {"k", "v"} <= set(lm_params["decoder"]["cross_attn"])
+        assert executor.model.cfg.lm.int8_decoder_step
+        metrics = executor.test()
+        assert "test_evaluation/accuracy_overall" in metrics
+        assert 0.0 <= metrics["test_evaluation/accuracy_overall"] <= 100.0
+
     def test_int8_calibrated_eval(self, tmp_path):
         """tpu.int8_calibrate_batches defers quantization to the
         executor, which accumulates SmoothQuant activation maxima on the

@@ -117,6 +117,45 @@ def test_int8_ffn_generate_sharded_matches_single_device(setup):
                                rtol=2e-3, atol=2e-3)
 
 
+def test_int8_decoder_generate_sharded_matches_single_device(setup):
+    """The opt-in weight-only int8 decode step under a (data, model)
+    mesh: the replicated step_q8 subtree (parallel/mesh.py spec guard)
+    must give EXACTLY the single-device int8 tokens — with the bf16
+    decoder matmul weights DROPPED (the production deployment,
+    model_factory drop_bf16=True)."""
+    cfg, params, prefix, ids, mask, _, _ = setup
+    from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (
+        quantize_decoder_step,
+    )
+    import dataclasses
+
+    q_params = {"lm": quantize_decoder_step(params["lm"], drop_bf16=True),
+                "mapper": params["mapper"]}
+    q_cfg = dataclasses.replace(
+        cfg, lm=dataclasses.replace(cfg.lm, int8_decoder_step=True))
+    ref_model = VCT0Model(q_cfg, q_params)
+    tokens_ref, lp_ref = ref_model.generate(prefix, ids, mask,
+                                            max_new_tokens=5)
+
+    mesh = make_mesh(AttrDict(tpu={"mesh": {"data": 4, "model": 2}}))
+    sharded = {
+        "lm": shard_lm_params(mesh, q_params["lm"]),
+        "mapper": replicate_params(mesh, q_params["mapper"]),
+    }
+    batch_sh = NamedSharding(mesh, P("data"))
+    model = VCT0Model(q_cfg, sharded)
+    tokens, lp = model.generate(
+        jax.device_put(prefix, batch_sh),
+        jax.device_put(ids, batch_sh),
+        jax.device_put(mask, batch_sh),
+        max_new_tokens=5,
+    )
+    np.testing.assert_array_equal(np.asarray(tokens),
+                                  np.asarray(tokens_ref))
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_ref),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_beam_generate_sharded_matches_single_device(setup):
     cfg, params, prefix, ids, mask, *_ = setup
     model = VCT0Model(cfg, params)
