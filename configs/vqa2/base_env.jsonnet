@@ -119,6 +119,11 @@ local caption_features = {
     //                              eval batches' spliced inputs (drift
     //                              reduction; main/no_prefix modes)
     //   "int8_smooth_alpha": 0.5   SmoothQuant activation/weight balance
+    //   "int8_decoder_step": true  weight-only (W8A16) decode-step
+    //                              matmuls; drops the dead bf16 decoder
+    //                              copies (~2.7 GB at T0-3B) so the
+    //                              B=64+ capacity points fit — eval-only
+    //                              (teacher-forced passes raise)
   },
   "cache": {
     "default_folder": default_cache_folder,

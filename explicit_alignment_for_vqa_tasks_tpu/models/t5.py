@@ -877,7 +877,16 @@ def init_decode_cache(
         # per-(layer,row,head,channel) symmetric int8 over the length
         # axis; quantize layer by layer inside the scan so the bf16
         # (B, L, H, kv) tensors are scan temporaries, never a full
-        # (layers, ...) array
+        # (layers, ...) array.
+        #
+        # STORAGE LAYOUT: the caches are stored with (H, kv) MERGED into
+        # one 2048-lane minor dim. An s8 (..., H, kv=64) array tiles at
+        # T(8,128)(4,1) with its 64-wide minor dim padded to 128 lanes —
+        # 2.0x HBM expansion — and at B=96 XLA's remat pass additionally
+        # held compressed+uncompressed copies of both padded caches
+        # (~12.6 GB of temps, compile-OOM). Merged (..., H*kv) rows tile
+        # exactly; the decode step re-views them per layer (a bitcast —
+        # same row-major linear order, no copy).
         def cross_kv_q8(carry, layer_p):
             k = _project(encoder_hidden, layer_p["k"], h)
             v = _project(encoder_hidden, layer_p["v"], h)
@@ -887,7 +896,10 @@ def init_decode_cache(
                 scale = jnp.max(jnp.abs(x32), axis=1, keepdims=True) / 127.0
                 scale = jnp.maximum(scale, 1e-8)
                 q = jnp.clip(jnp.round(x32 / scale), -127, 127)
-                return q.astype(jnp.int8), scale
+                q = q.astype(jnp.int8)
+                # (B, L, H, kv) -> (B, L, H*kv); (B, 1, H, kv) -> (B, 1, H*kv)
+                return (q.reshape(q.shape[0], q.shape[1], h * kv),
+                        scale.reshape(scale.shape[0], 1, h * kv))
 
             k8, ks = quant(k)
             v8, vs = quant(v)
@@ -1044,19 +1056,26 @@ def t5_decode_step(
             # (the int8 operands convert to bf16 — exact for |x|<=127 —
             # NOT f32: an f32 promotion doubles the converted cache
             # tile bytes and OOMs at B=64)
-            q_scaled = (cq.astype(jnp.float32)
-                        * cross_c["ks"].astype(jnp.float32))
+            bsz = cq.shape[0]
+            h_, kv_ = cfg.num_heads, cfg.d_kv
+            # stored merged (B, L, H*kv) for exact int8 lane tiling (see
+            # init_decode_cache) — re-view per head here; bitcast, no copy
+            k8 = cross_c["k8"].reshape(bsz, -1, h_, kv_)
+            v8 = cross_c["v8"].reshape(bsz, -1, h_, kv_)
+            ks = cross_c["ks"].reshape(bsz, 1, h_, kv_)
+            vs = cross_c["vs"].reshape(bsz, 1, h_, kv_)
+            q_scaled = cq.astype(jnp.float32) * ks.astype(jnp.float32)
             logits = jnp.einsum(
                 "bqhd,bkhd->bhqk", q_scaled.astype(y.dtype),
-                cross_c["k8"].astype(y.dtype),
+                k8.astype(y.dtype),
                 preferred_element_type=jnp.float32,
             ) + cross_bias
             weights = jax.nn.softmax(logits, axis=-1).astype(y.dtype)
             cattn = (jnp.einsum(
                 "bhqk,bkhd->bqhd", weights,
-                cross_c["v8"].astype(y.dtype),
+                v8.astype(y.dtype),
                 preferred_element_type=jnp.float32,
-            ) * cross_c["vs"].astype(jnp.float32)).astype(y.dtype)
+            ) * vs.astype(jnp.float32)).astype(y.dtype)
             cattn = cattn.reshape(cattn.shape[0], cattn.shape[1], -1)
         else:
             cattn = _attention(cq, ck, cv, cross_bias, y.dtype)

@@ -48,8 +48,11 @@ class TestInt8CrossKV:
         assert cache["cross_k"].dtype == jnp.int8
         assert cache["cross_v"].dtype == jnp.int8
         nl, B, L, H, kv = 3, 4, 12, 8, 8
-        assert cache["cross_k"].shape == (nl, B, L, H, kv)
-        assert cache["cross_k_scale"].shape == (nl, B, 1, H, kv)
+        # stored with (H, kv) merged into one minor dim: an s8 minor dim
+        # of kv=64 tiles at half-lane occupancy on TPU (2x HBM padding);
+        # merged H*kv rows tile exactly (see init_decode_cache)
+        assert cache["cross_k"].shape == (nl, B, L, H * kv)
+        assert cache["cross_k_scale"].shape == (nl, B, 1, H * kv)
 
     def test_dequant_error_within_per_channel_bound(self, setup):
         cfg, params, hidden, _ = setup
@@ -59,8 +62,11 @@ class TestInt8CrossKV:
         for name in ("k", "v"):
             exact = np.asarray(fp[f"cross_{name}"], dtype=np.float32)
             deq = (np.asarray(q8[f"cross_{name}"], dtype=np.float32)
-                   * np.asarray(q8[f"cross_{name}_scale"]))
-            scale = np.asarray(q8[f"cross_{name}_scale"])
+                   * np.asarray(q8[f"cross_{name}_scale"])
+                   ).reshape(exact.shape)
+            scale = np.asarray(q8[f"cross_{name}_scale"]).reshape(
+                exact.shape[0], exact.shape[1], 1, *exact.shape[3:]
+            )
             # symmetric rounding: |err| <= scale/2 elementwise
             err = np.abs(deq - exact)
             assert np.all(err <= scale * 0.5 + 1e-6), err.max()
