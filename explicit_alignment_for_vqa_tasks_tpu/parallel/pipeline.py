@@ -91,6 +91,18 @@ def pp_param_specs(params: Params) -> Params:
     def spec_for(path: tuple, leaf: Any) -> P:
         names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
         key = names[-1] if names else ""
+        if "ffn_q8" in names or "self_attn_q8" in names \
+                or "step_q8" in names:
+            # int8 weights + grouped dequant scales feed opaque
+            # pallas_calls (fused_t5_ffn_q8 / fused_t5_ln_qkv_q8) or the
+            # grouped decode-step matmuls (_matmul_w8). All q8 leaves are
+            # scan-stacked with a leading layer axis: shard THAT over
+            # `pipe` (the HBM win pipe exists for) and replicate over
+            # `model` — a weight and its scales must shard identically,
+            # the same invariant mesh.py::t5_param_specs keeps by full
+            # replication on the 2-D mesh.
+            nd = getattr(leaf, "ndim", 0)
+            return P(PIPE_AXIS, *([None] * (nd - 1))) if nd >= 1 else P()
         if key == "rel_bias":            # (buckets, H)
             return P(None, MODEL_AXIS)
         if key in ("shared", "lm_head", "final_ln"):
@@ -245,21 +257,75 @@ def _ffn_block_tp(layer_p: Params, x: jax.Array, cfg: T5Config,
     return _close_block(y, seq, x.dtype)
 
 
-def _encoder_layer(cfg: T5Config, heads_local: int, seq: bool = False):
+def _encoder_layer(cfg: T5Config, heads_local: int, seq: bool = False,
+                   tp: int = 1, q8_attn: bool = False, q8_ffn: bool = False,
+                   pos_full: Optional[jax.Array] = None):
     """With ``seq`` the residual stream entering/leaving the layer is
     sequence-sharded over `model` (megatron sequence parallelism): the
     layernorms run on the local shard, the full sequence is all-gathered
-    only for the attention/FFN matmuls, and psum_scatter re-shards."""
+    only for the attention/FFN matmuls, and psum_scatter re-shards.
+
+    ``q8_attn``/``q8_ffn`` run the opt-in int8 encoder kernels INSIDE the
+    GPipe stages (the same fused_t5_ln_qkv_q8 / t5_attention_core_vjp /
+    fused_oproj_residual_q8 / fused_t5_ffn_q8 composition as the
+    single-chip eval path, models/t5.py::t5_encode) so the int8
+    throughput stack composes with pipe>1 instead of forcing a 2-D
+    fallback. The q8 weights + scales ride pipe-sharded / model-
+    replicated (pp_param_specs), so under tp>1 each model rank computes
+    the q8 block on all heads — redundant FLOPs bounded by tp, accepted
+    because the q8 subtrees' dequant scales cannot split a psum the way
+    the bf16 megatron split can, and pipe (the memory axis) is where the
+    int8 composition matters. The q8 FFN is pointwise over sequence, so
+    under ``seq`` it runs directly on the local shard; q8 attention
+    gathers the full sequence (it needs all keys) and re-shards after."""
     eps = cfg.layer_norm_epsilon
 
-    def layer(x, side, layer_p):
+    def attn_part(x, side, layer_p):
+        if q8_attn:
+            from ..ops.fused_attention_block import (
+                fused_oproj_residual_q8,
+                fused_t5_ln_qkv_q8,
+                t5_attention_core_vjp,
+            )
+
+            x_full = _gather_seq(x, seq)
+            a8 = layer_p["self_attn_q8"]
+            q, k, v = fused_t5_ln_qkv_q8(
+                x_full, a8["ln"] if "ln" in a8 else layer_p["ln0"],
+                a8["q"], a8["q_s"], a8["k"], a8["k_s"],
+                a8["v"], a8["v_s"], eps=eps,
+            )
+            attn = t5_attention_core_vjp(
+                q, k, v, pos_full, side["mask"], cfg.num_heads
+            )
+            y_full = fused_oproj_residual_q8(
+                x_full, attn, a8["o"], a8["o_s"]
+            )
+            return _shard_seq(y_full, tp) if seq else y_full
         attn_in = _gather_seq(rms_norm(x, layer_p["ln0"], eps), seq)
-        y = x + _attn_block_tp(
+        return x + _attn_block_tp(
             layer_p["self_attn"], attn_in, attn_in, side["bias"], cfg,
             heads_local, seq,
         )
+
+    def ffn_part(y, layer_p):
+        if q8_ffn:
+            from ..ops.fused_attention_block import fused_t5_ffn_q8
+
+            q8 = layer_p["ffn_q8"]
+            gated = cfg.is_gated_act
+            return fused_t5_ffn_q8(
+                y, q8["ln"] if "ln" in q8 else layer_p["ln1"],
+                q8["wi_0"], q8["wi_0_s"],
+                q8["wi_1"] if gated else None,
+                q8["wi_1_s"] if gated else None,
+                q8["wo"], q8["wo_s"], eps=eps,
+            )
         ffn_in = _gather_seq(rms_norm(y, layer_p["ln1"], eps), seq)
         return y + _ffn_block_tp(layer_p["ffn"], ffn_in, cfg, seq)
+
+    def layer(x, side, layer_p):
+        return ffn_part(attn_part(x, side, layer_p), layer_p)
 
     return layer
 
@@ -325,25 +391,46 @@ def _encoder_pipeline(enc_p: Params, x: jax.Array, mask: jax.Array,
     b_loc, length, _ = x.shape
     m = n_micro
     x = x.astype(cfg.dtype)
-    pos = compute_position_bias(
-        enc_p["rel_bias"], length, length, bidirectional=True, cfg=cfg
-    )  # (1, H_local, L, L)
-    mask_bias = jnp.where(
-        mask[:, None, None, :] > 0, 0.0, NEG_INF
-    ).astype(jnp.float32)
-    enc_bias = pos + mask_bias  # (b_loc, H_local, L, L)
+    q8_ffn = bool(cfg.int8_encoder_ffn) and "ffn_q8" in enc_p
+    q8_attn = bool(cfg.int8_encoder_attn) and "self_attn_q8" in enc_p
     enc_stacked = {
         "self_attn": enc_p["self_attn"], "ffn": enc_p["ffn"],
         "ln0": enc_p["ln0"], "ln1": enc_p["ln1"],
     }
+    side = {}
+    pos_full = None
+    if q8_attn:
+        # the q8 attention path computes ALL heads per model rank
+        # (q8 weights are model-replicated, see pp_param_specs), so it
+        # needs the full-head position bias + the raw key mask (the
+        # Pallas core folds the mask itself); rel_bias is model-sharded
+        # for the bf16 tp path, so re-assemble it (tiny: buckets x H)
+        rel = enc_p["rel_bias"]
+        if tp > 1:
+            rel = jax.lax.all_gather(rel, MODEL_AXIS, axis=1, tiled=True)
+        pos_full = compute_position_bias(
+            rel, length, length, bidirectional=True, cfg=cfg
+        )[0]  # (H, L, L)
+        side["mask"] = _microbatch(mask, m)
+        enc_stacked["self_attn_q8"] = enc_p["self_attn_q8"]
+    else:
+        pos = compute_position_bias(
+            enc_p["rel_bias"], length, length, bidirectional=True, cfg=cfg
+        )  # (1, H_local, L, L)
+        mask_bias = jnp.where(
+            mask[:, None, None, :] > 0, 0.0, NEG_INF
+        ).astype(jnp.float32)
+        side["bias"] = _microbatch(pos + mask_bias, m)
+    if q8_ffn:
+        enc_stacked["ffn_q8"] = enc_p["ffn_q8"]
     run_enc = _stage_runner(
-        _encoder_layer(cfg, heads_local, seq), enc_stacked,
-        remat=cfg.remat,
+        _encoder_layer(cfg, heads_local, seq, tp=tp, q8_attn=q8_attn,
+                       q8_ffn=q8_ffn, pos_full=pos_full),
+        enc_stacked, remat=cfg.remat,
     )
     y_mb = gpipe(
         run_enc, _microbatch(_shard_seq(x, tp) if seq else x, m),
-        {"bias": _microbatch(enc_bias, m)},
-        axis_name=PIPE_AXIS, n_stages=pp, n_micro=m,
+        side, axis_name=PIPE_AXIS, n_stages=pp, n_micro=m,
     )
     y_full = y_mb.reshape(b_loc, y_mb.shape[2], -1)
     if seq:
@@ -379,6 +466,13 @@ def t5_forward_loss_pp(
     pp = mesh.shape[PIPE_AXIS]
     tp = mesh.shape[MODEL_AXIS]
     seq = bool(sequence_parallel) and tp > 1
+    if "q" not in params["decoder"]["self_attn"]:
+        raise ValueError(
+            "the bf16 decoder matmul weights were dropped by "
+            "quantize_decoder_step(drop_bf16=True) — int8_decoder_step "
+            "is an eval-only mode; the pipelined teacher-forced training "
+            "loss needs the bf16 decoder (same contract as t5_decode)"
+        )
     if cfg.num_encoder_layers % pp or cfg.num_decoder_layers % pp:
         raise ValueError(
             f"layers ({cfg.num_encoder_layers}/{cfg.num_decoder_layers}) "

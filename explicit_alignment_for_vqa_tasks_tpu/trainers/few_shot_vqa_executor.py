@@ -64,28 +64,6 @@ class FewShotVQAExecutor(BaseExecutor):
     def training_step(self, batch: AttrDict, batch_idx: int):
         return None
 
-    def _pipeline_unsupported_reason(self):
-        """Every generate path now has a pipelined twin (main / no_prefix /
-        prefix-only / one-at-a-time / forced-decoder / beam — see
-        models/vct0.py), so the only remaining 2-D fallback is the opt-in
-        int8 encoder modes, whose q8 kernels the GPipe encoder stages do
-        not run."""
-        tpu_cfg = self.config.get("tpu", {})
-        if bool(tpu_cfg.get("int8_encoder_ffn", False)) or \
-                bool(tpu_cfg.get("int8_encoder_attn", False)):
-            # the GPipe encoder stages run their own bf16 layer math;
-            # silently dropping the opt-in int8 modes would misreport the
-            # measured configuration, so fall back to the 2-D mesh where
-            # the q8 kernels actually execute
-            return "int8 encoder modes have no pipelined encoder twin"
-        if bool(tpu_cfg.get("int8_decoder_step", False)):
-            # pipelined eval gathers decoder params over pipe before the
-            # tp-only decode; the q8 step weights are untested under that
-            # gather, so fall back to the 2-D mesh where the mode is
-            # pinned token-exact (tests/test_generate_mesh.py)
-            return "int8_decoder_step has no pipelined-eval coverage"
-        return None
-
     def _maybe_calibrate_int8(self) -> None:
         """Deferred int8 quantization (tpu.int8_calibrate_batches > 0):
         pull the first N eval batches, accumulate SmoothQuant activation
