@@ -46,6 +46,16 @@ def main() -> None:
                         "default run (random weights never emit EOS) "
                         "pays the full --decode_steps budget and is the "
                         "conservative bound")
+    parser.add_argument("--eos_at_steps", type=str, default="",
+                        help="comma list, e.g. '2,3,4,5': force each row "
+                        "to finish at a step sampled (per row, seeded) "
+                        "from the list — measures the early-exit loop "
+                        "under a REALISTIC answer-length distribution "
+                        "instead of the two extremes (--eos_step1 floor "
+                        "vs the full-budget default). VQA answers are "
+                        "1-3 words = 2-5 sentencepiece+EOS steps "
+                        "(reference: src/get_answer_length.ipynb; "
+                        "tools/answer_length_analysis.py)")
     parser.add_argument("--int8_attn", action="store_true",
                         help="int8 encoder QKV/O projections around the "
                         "bf16 attention core (opt-in, composes with "
@@ -148,10 +158,18 @@ def main() -> None:
     tok_j, mask_j = jnp.asarray(tokens), jnp.asarray(mask)
     prefix_j = jnp.asarray(prefix)
 
+    force_eos_at = None
+    mean_forced_len = None
+    if args.eos_at_steps:
+        steps = [int(s) for s in args.eos_at_steps.split(",") if s]
+        sampled = rng.choice(np.asarray(steps, np.int32), size=B)
+        mean_forced_len = float(sampled.mean())
+        force_eos_at = jnp.asarray(sampled.astype(np.int32))
+
     def step():
         out_tokens, logprobs = model.generate(
             prefix=prefix_j, question_tokens=tok_j, question_mask=mask_j,
-            max_new_tokens=args.decode_steps,
+            max_new_tokens=args.decode_steps, force_eos_at=force_eos_at,
         )
         # fetch forces execution (block_until_ready is unreliable through
         # the axon tunnel)
@@ -177,6 +195,8 @@ def main() -> None:
             "decode_steps": args.decode_steps,
             "spliced_length": L + 9 * P,
             "eos_step1": bool(args.eos_step1),
+            "eos_at_steps": args.eos_at_steps or None,
+            "mean_forced_answer_len": mean_forced_len,
             "int8_cross_kv": bool(args.int8_cross_kv),
             "int8_encoder_ffn": bool(args.int8_ffn),
             "int8_encoder_attn": bool(args.int8_attn),

@@ -188,32 +188,40 @@ def _encoder_block(layer_p, x, bias, num_heads, eps, use_pallas=False,
             deferred_div=(fused_block_long == "whole_dd"),
         )
 
-    if fused_block and bias is None and x.shape[1] > 128 and \
-            fused_block_long in ("", "split3"):
+    if fused_block and bias is None and (
+        (x.shape[1] > 128 and fused_block_long in ("", "split3"))
+        or (x.shape[1] <= 128 and fused_block_long == "split3")
+    ):
         # three fused programs; only the residual stream and q/k/v
-        # round-trip HBM between them
+        # round-trip HBM between them. Default at long seq (the measured
+        # ViT-L best); opt-in at short seq via fused_block_long="split3"
+        # (the vit_b_study shootout surface) where the per-program group
+        # defaults to the same auto size as the whole-block kernel.
         from ..ops.fused_attention_block import (
             attention_core_oproj,
             fused_ln_qkv,
             fused_mlp_block,
         )
 
+        grp = 1 if x.shape[1] > 128 else (
+            fused_block_group or _fused_group(x.shape[0])
+        )
         q, k, v = fused_ln_qkv(
             x, layer_p["ln1_scale"], layer_p["ln1_bias"],
             layer_p["q"], layer_p["q_bias"],
             layer_p["k"], layer_p["k_bias"],
             layer_p["v"], layer_p["v_bias"],
-            scale=head_dim ** -0.5, group=1, eps=eps,
+            scale=head_dim ** -0.5, group=grp, eps=eps,
         )
         y = attention_core_oproj(
             x, q, k, v, layer_p["o"], layer_p["o_bias"],
-            num_heads=num_heads, group=1,
+            num_heads=num_heads, group=grp,
         )
         return fused_mlp_block(
             y, layer_p["ln2_scale"], layer_p["ln2_bias"],
             layer_p["mlp_fc"], layer_p["mlp_fc_bias"],
             layer_p["mlp_proj"], layer_p["mlp_proj_bias"],
-            group=1, eps=eps,
+            group=grp, eps=eps,
         )
 
     if fused_block and bias is None and x.shape[1] > 128:

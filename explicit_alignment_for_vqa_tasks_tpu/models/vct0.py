@@ -144,6 +144,7 @@ def _generate_main(
     lm_params: Params, mapper_params: Params, cfg: VCT0Config,
     prefix: jax.Array, tokens: jax.Array, mask: jax.Array,
     num_prefixes: int, max_new_tokens: int, num_beams: int = 1,
+    force_eos_at: Optional[jax.Array] = None,
 ):
     text_embeds = t5_lib.embed_tokens(lm_params, cfg.lm, tokens)
     prefix_proj = project_prefix(cfg, mapper_params, prefix)
@@ -163,7 +164,7 @@ def _generate_main(
             num_beams=num_beams, max_new_tokens=max_new_tokens,
         )
     return _decoding.greedy_decode_t5(lm_params, cfg.lm, hidden, joint_mask,
-                            max_new_tokens)
+                            max_new_tokens, force_eos_at=force_eos_at)
 
 
 @functools.partial(
@@ -520,11 +521,26 @@ class VCT0Model:
         num_shots: Optional[int] = None,
         max_new_tokens: int = 20,
         num_beams: int = 1,
+        force_eos_at: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Returns (tokens (B, T), token_logprobs (B, T)). With
         num_beams > 1 the logprobs are the winning hypothesis's true
         per-token values (tracked through beam reorders), so
-        ``score_sequences`` works identically for greedy and beam."""
+        ``score_sequences`` works identically for greedy and beam.
+
+        ``force_eos_at`` ((B,) int32, bench_generate.py --eos_at_steps)
+        force-finishes each row at a chosen decode step so the early-exit
+        loop can be measured under a realistic answer-length
+        distribution; main greedy path only."""
+        if force_eos_at is not None and (
+            num_beams > 1 or no_prefix or decoder_input_ids is not None
+            or pass_examples_through_encoder_one_at_a_time
+            or self.pipeline_ctx is not None or question_tokens is None
+        ):
+            raise ValueError(
+                "force_eos_at is a bench hook for the main single-device "
+                "greedy generate path only"
+            )
         if num_beams > 1 and decoder_input_ids is not None:
             # forced_decode_t5 teacher-forces then continues GREEDILY;
             # silently ignoring num_beams would misreport the run
@@ -560,19 +576,19 @@ class VCT0Model:
             tokens, lps = self._generate_inner(
                 prefix, question_tokens, question_mask, decoder_input_ids,
                 no_prefix, pass_examples_through_encoder_one_at_a_time,
-                num_shots, max_new_tokens, num_beams,
+                num_shots, max_new_tokens, num_beams, force_eos_at,
             )
             return tokens[:orig_batch], lps[:orig_batch]
         return self._generate_inner(
             prefix, question_tokens, question_mask, decoder_input_ids,
             no_prefix, pass_examples_through_encoder_one_at_a_time,
-            num_shots, max_new_tokens, num_beams,
+            num_shots, max_new_tokens, num_beams, force_eos_at,
         )
 
     def _generate_inner(
         self, prefix, question_tokens, question_mask, decoder_input_ids,
         no_prefix, pass_examples_through_encoder_one_at_a_time, num_shots,
-        max_new_tokens, num_beams,
+        max_new_tokens, num_beams, force_eos_at=None,
     ) -> Tuple[jax.Array, jax.Array]:
         cfg, params = self.cfg, self.params
         lm_params, mapper_params = params["lm"], params["mapper"]
@@ -644,6 +660,7 @@ class VCT0Model:
                     lm_params, mapper_params, cfg, prefix, question_tokens,
                     question_mask, num_prefixes=num_prefixes,
                     max_new_tokens=max_new_tokens, num_beams=num_beams,
+                    force_eos_at=force_eos_at,
                 )
             # forced decoder prefix: only the test image's prefix is
             # spliced (reference: vct0.py:466-482)

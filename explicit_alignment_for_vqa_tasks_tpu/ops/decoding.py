@@ -36,12 +36,21 @@ def greedy_decode_t5(
     encoder_hidden: jax.Array,     # (B, L, D)
     encoder_mask: jax.Array,       # (B, L)
     max_new_tokens: int = 20,
+    force_eos_at: Any = None,      # optional (B,) int32 — bench hook
 ) -> Tuple[jax.Array, jax.Array]:
     """Greedy seq2seq decode from precomputed encoder states.
 
     Returns (tokens (B, T) int32, token_logprobs (B, T) f32). Rows stop at
     EOS; subsequent slots are pad with logprob 0. The loop exits as soon
-    as every row has finished (see module docstring)."""
+    as every row has finished (see module docstring).
+
+    ``force_eos_at`` (bench_generate.py --eos_at_steps): per-row step at
+    which the row is force-finished, so the early-exit loop's cost can be
+    measured under a REALISTIC answer-length distribution (random-init
+    weights never emit EOS, so the default bench run pays the full
+    budget). None — the production value — leaves the compiled graph
+    untouched; when set, the only addition is one vector compare per
+    step."""
     batch = encoder_hidden.shape[0]
     cache = t5_lib.init_decode_cache(params, cfg, encoder_hidden,
                                      max_new_tokens)
@@ -68,6 +77,8 @@ def greedy_decode_t5(
         )[:, 0]
         token_lp = jnp.where(finished, 0.0, token_lp)
         new_finished = finished | (next_token == cfg.eos_token_id)
+        if force_eos_at is not None:
+            new_finished = new_finished | (force_eos_at <= t + 1)
         return (t + 1, next_token, cache, new_finished,
                 buf.at[:, t].set(next_token), lp_buf.at[:, t].set(token_lp))
 

@@ -23,7 +23,16 @@ logger = logging.getLogger(__name__)
 def make_mesh(config: Optional[Any] = None,
               devices: Optional[list] = None) -> Mesh:
     """Build a (data, model) mesh from config.tpu.mesh sizes; -1 means
-    "all remaining devices"."""
+    "all remaining devices".
+
+    With ``tpu.mesh.dcn_data > 1`` (multi-slice / multi-process runs) a
+    HYBRID mesh is built instead: an outer ``dcn_data`` axis laid out
+    over the slow DCN network (one granule per TPU slice, or per process
+    where the platform doesn't expose ``slice_index``) wrapping the
+    per-slice (data, model) ICI mesh —
+    ``mesh_utils.create_hybrid_device_mesh``. Batch then shards over
+    ``(dcn_data, data)`` (batch_sharding) so the only DCN collective is
+    the gradient/metric all-reduce; tp collectives stay on ICI."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     sizes: Dict[str, int] = {"data": -1, "model": 1}
@@ -33,7 +42,36 @@ def make_mesh(config: Optional[Any] = None,
     if model in (-1, 0):
         model = 1
     data = sizes.get("data", -1)
+    dcn_data = int(sizes.get("dcn_data", 1) or 1)
     pipe = int(sizes.get("pipe", 1) or 1)
+    if dcn_data > 1:
+        from jax.experimental import mesh_utils
+
+        if pipe > 1:
+            raise ValueError(
+                "dcn_data composes with the 2-D (data, model) ICI mesh; "
+                "pipe > 1 under DCN is not supported (the GPipe ppermute "
+                "ring must stay on ICI)"
+            )
+        per_granule = n // dcn_data
+        if data in (-1, 0):
+            data = per_granule // model
+        if dcn_data * data * model != n:
+            raise ValueError(
+                f"mesh sizes dcn_data={dcn_data} x data={data} x "
+                f"model={model} != {n} devices"
+            )
+        # slices are the DCN granules where the platform exposes a
+        # matching slice count; processes otherwise (CPU multi-process
+        # tests report slice_index=0 on every virtual device, and some
+        # runtimes omit the attribute entirely)
+        slices = {getattr(d, "slice_index", 0) for d in devices}
+        process_is_granule = len(slices) != dcn_data
+        mesh_devices = mesh_utils.create_hybrid_device_mesh(
+            (data, model), (dcn_data, 1), devices,
+            process_is_granule=process_is_granule,
+        ).reshape(dcn_data, data, model)
+        return Mesh(mesh_devices, axis_names=("dcn_data", "data", "model"))
     if pipe > 1 and data not in (-1, 0) and data * pipe * model == n:
         # caller fell back from a 3-D (data, pipe, model) request (e.g.
         # unsupported eval mode): fold the pipe devices into data so the
@@ -50,9 +88,24 @@ def make_mesh(config: Optional[Any] = None,
     return Mesh(mesh_devices, axis_names=("data", "model"))
 
 
+def data_axes(mesh: Mesh) -> tuple:
+    """The mesh axes the batch shards over (outer-to-inner)."""
+    return ("dcn_data", "data") if "dcn_data" in mesh.axis_names \
+        else ("data",)
+
+
+def data_size(mesh: Mesh) -> int:
+    """Total data-parallel ways (product over the batch-sharding axes)."""
+    size = 1
+    for ax in data_axes(mesh):
+        size *= mesh.shape[ax]
+    return size
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading batch axis split over the data axis."""
-    return NamedSharding(mesh, P("data"))
+    """Leading batch axis split over the data axis (and the outer
+    dcn_data axis on hybrid multi-slice meshes)."""
+    return NamedSharding(mesh, P(data_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -203,17 +203,18 @@ class BaseExecutor(MetricsProcessor):
         return None
 
     def _shard(self, array) -> Any:
-        """Shard a batch array's leading axis over the mesh `data` axis
-        (pass-through when no mesh)."""
+        """Shard a batch array's leading axis over the mesh data axis —
+        or (dcn_data, data) on a hybrid multi-slice mesh (pass-through
+        when no mesh)."""
         if self.mesh is None:
             return array
         import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        data_size = self.mesh.shape["data"]
-        if array.shape[0] % data_size != 0:
+        from ..parallel.mesh import batch_sharding, data_size
+
+        if array.shape[0] % data_size(self.mesh) != 0:
             return array  # non-divisible batch: replicate
-        return jax.device_put(array, NamedSharding(self.mesh, P("data")))
+        return jax.device_put(array, batch_sharding(self.mesh))
 
     # ------------------------------------------------------------------
     def setup(self, multi_logger: Optional[MultiLogger] = None) -> None:

@@ -127,6 +127,46 @@ class TestT5GreedyDecode:
         np.testing.assert_array_equal(logprobs[:, 1:],
                                       np.zeros((1, T - 1), np.float32))
 
+    def test_force_eos_at_semantics(self, t5_pair):
+        """The bench hook (bench_generate.py --eos_at_steps): with
+        force_eos_at = s, row tokens up to step s match the unforced run
+        exactly, everything after is pad with logprob 0; force_eos_at=None
+        is byte-identical to the unforced run."""
+        _, cfg, params = t5_pair
+        rng = np.random.default_rng(13)
+        B, T = 3, 10
+        ids = rng.integers(2, 64, size=(B, 6)).astype(np.int32)
+        mask = jnp.ones((B, 6), dtype=jnp.int32)
+        hidden = t5_encode(params, cfg, input_ids=jnp.asarray(ids),
+                           attention_mask=mask)
+        base_tok, base_lp = greedy_decode_t5(
+            params, cfg, hidden, mask, max_new_tokens=T,
+        )
+        none_tok, none_lp = greedy_decode_t5(
+            params, cfg, hidden, mask, max_new_tokens=T, force_eos_at=None,
+        )
+        np.testing.assert_array_equal(np.asarray(base_tok),
+                                      np.asarray(none_tok))
+        np.testing.assert_array_equal(np.asarray(base_lp),
+                                      np.asarray(none_lp))
+
+        steps = np.asarray([2, 4, 3], np.int32)
+        tok, lp = greedy_decode_t5(
+            params, cfg, hidden, mask, max_new_tokens=T,
+            force_eos_at=jnp.asarray(steps),
+        )
+        tok, lp = np.asarray(tok), np.asarray(lp)
+        base_tok, base_lp = np.asarray(base_tok), np.asarray(base_lp)
+        for row, s in enumerate(steps):
+            # rows that naturally emitted EOS earlier keep their prefix;
+            # random-init here never does within `s`, so compare directly
+            np.testing.assert_array_equal(tok[row, :s], base_tok[row, :s])
+            np.testing.assert_array_equal(
+                tok[row, s:], np.full(T - s, cfg.pad_token_id, np.int32)
+            )
+            np.testing.assert_array_equal(lp[row, s:],
+                                          np.zeros(T - s, np.float32))
+
     def test_forced_decoder_prefix(self, t5_pair):
         hf_model, cfg, params = t5_pair
         rng = np.random.default_rng(4)
