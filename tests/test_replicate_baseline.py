@@ -128,6 +128,52 @@ def test_harness_end_to_end_tiny_weights(tmp_path, tiny_weights_dir,
 
 
 @pytest.mark.slow
+def test_harness_compare_bf16(tmp_path, tiny_weights_dir,
+                              tiny_mapper_ckpt):
+    """--compare-bf16 (VERDICT r4 #6): one invocation runs each point
+    with the int8 --opts AND with them stripped, reporting the
+    int8-vs-bf16 delta with a ±tolerance verdict — the day-1 int8
+    validation as one command."""
+    from explicit_alignment_for_vqa_tasks_tpu.tools.replicate_baseline import (
+        main,
+        parse_args,
+        run_sweep,
+    )
+
+    os.chdir(REPO)
+    fixtures = write_vqa_fixtures(tmp_path)
+    report_path = tmp_path / "report.json"
+    argv = _harness_argv(
+        tiny_weights_dir, tiny_mapper_ckpt, fixtures, tmp_path / "work",
+        shots=[1], output=report_path,
+    )
+    argv += ["--compare-bf16", "--opts",
+             f"model_config.model_args.prefix_size={PREFIX_SIZE}",
+             f"model_config.model_args.prefix_length={PREFIX_LEN}",
+             "data_loader.additional.max_target_length=8",
+             "tpu.int8_encoder_ffn=1"]
+    rc = main(argv)
+    assert rc == 0
+    with open(report_path) as fh:
+        report = json.load(fh)
+    row = report["rows"][0]
+    assert "accuracy_bf16" in row and "int8_vs_bf16_delta" in row
+    assert row["int8_verdict"] in ("PASS", "FAIL")
+    assert np.isclose(
+        row["int8_vs_bf16_delta"],
+        round(row["accuracy"] - row["accuracy_bf16"], 2),
+    )
+
+    # --compare-bf16 without int8 opts is refused loudly
+    args = parse_args(_harness_argv(
+        tiny_weights_dir, tiny_mapper_ckpt, fixtures, tmp_path / "w2",
+        shots=[1], output=tmp_path / "r2.json",
+    ) + ["--compare-bf16"])
+    with pytest.raises(ValueError, match="tpu.int8"):
+        run_sweep(args)
+
+
+@pytest.mark.slow
 def test_harness_deterministic(tmp_path, tiny_weights_dir,
                                tiny_mapper_ckpt):
     """Two runs on the same artifacts must agree exactly (the parity
