@@ -70,7 +70,10 @@ def _build_cc_executor(tmp_path, mesh, train_batch_size=8):
     config.model_config.model_args.prefix_length = 2
     config.tpu.compute_dtype = "float32"
     config.tpu.params_dtype = "float32"
-    config.tpu.mesh = mesh
+    if mesh is None:
+        config.tpu.use_mesh = False
+    else:
+        config.tpu.mesh = mesh
     config.train.epochs = 1
     config.train.batch_size = train_batch_size
     config.valid.batch_size = 8
