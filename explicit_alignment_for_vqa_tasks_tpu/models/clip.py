@@ -275,6 +275,9 @@ def _encoder_block(layer_p, x, bias, num_heads, eps, use_pallas=False,
             num_heads=num_heads,
             group=fused_block_group or _fused_group(x.shape[0]),
             eps=eps,
+            # bf16-exp + deferred-division softmax: the short-seq VPU
+            # lever found by tools/vit_b_study.py (opt-in)
+            fast_exp=(fused_block_long == "whole_fe"),
         )
 
     ln1 = _layer_norm(x, layer_p["ln1_scale"], layer_p["ln1_bias"], eps)

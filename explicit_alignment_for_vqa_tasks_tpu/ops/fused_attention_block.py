@@ -1234,7 +1234,8 @@ t5_attention_core_vjp.defvjp(_t5_attention_core_fwd, _t5_attention_core_bwd)
 
 def _make_vit_block_kernel(group: int, seq: int, num_heads: int,
                            head_dim: int, scale: float, eps: float,
-                           out_dtype, deferred_div: bool = False):
+                           out_dtype, deferred_div: bool = False,
+                           fast_exp: bool = False):
     """Whole transformer block in one program: LN1 + QKV + block-diagonal
     attention + out-proj + residual + LN2 + MLP(quickGELU) + residual.
 
@@ -1277,6 +1278,26 @@ def _make_vit_block_kernel(group: int, seq: int, num_heads: int,
                 preferred_element_type=jnp.float32,
             ) + blockmask                               # (GL, GL) fp32
             m = jnp.max(s, axis=-1, keepdims=True)
+            if fast_exp:
+                # bf16 exp + deferred division: the per-head fp32
+                # softmax chain (exp + div over (GL, GL)) is the
+                # measured gap between the ViT-B block stack and its
+                # FLOP bound (tools/vit_b_study.py). Unlike plain
+                # deferred_div (3.5% slower here — extra bf16 cast of
+                # p), fast_exp produces p in bf16 directly, so deferring
+                # the division costs nothing and drops a full
+                # score-sized fp32 VPU pass. ~1/256 relative error on p
+                # (cosine vs exact pinned in test_fused_vit_block.py).
+                p = jnp.exp((s - m).astype(jnp.bfloat16))
+                denom = jnp.sum(p.astype(jnp.float32), axis=-1,
+                                keepdims=True)
+                pv = jax.lax.dot_general(
+                    p, v[:, sl].astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                outs.append(pv / denom)
+                continue
             p = jnp.exp(s - m)
             if deferred_div:
                 # rescale the (GL, head_dim) PV output instead of the
@@ -1326,7 +1347,7 @@ def _make_vit_block_kernel(group: int, seq: int, num_heads: int,
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "group", "eps", "interpret",
-                     "deferred_div"),
+                     "deferred_div", "fast_exp"),
 )
 def fused_vit_block(
     x: jax.Array,            # (B, L, D) — PRE-LN residual stream
@@ -1343,6 +1364,7 @@ def fused_vit_block(
     eps: float = 1e-5,
     interpret: Optional[bool] = None,
     deferred_div: bool = False,
+    fast_exp: bool = False,
 ) -> jax.Array:
     """Full pre-LN ViT encoder block (CLIP semantics, quickGELU) as one
     Pallas program. Returns x + Attn(LN1(x)) + MLP(LN2(x + Attn(LN1(x)))).
@@ -1352,7 +1374,9 @@ def fused_vit_block(
     sequences (ViT-L's 577, group=1, ~57 MB peak) under a raised limit
     (utils/tpu_flags.ensure_scoped_vmem_limit(98304)). ``deferred_div``
     rescales PV outputs instead of the score matrix (faster at long L,
-    slower at short L)."""
+    slower at short L). ``fast_exp`` computes the softmax exp in bf16
+    with deferred division — the short-seq VPU lever (opt-in,
+    fused_block_long='whole_fe')."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     batch, seq, d_model = x.shape
@@ -1363,7 +1387,8 @@ def fused_vit_block(
     bf = jnp.bfloat16
     kernel = _make_vit_block_kernel(group, seq, num_heads, head_dim,
                                     scale, eps, x.dtype,
-                                    deferred_div=deferred_div)
+                                    deferred_div=deferred_div,
+                                    fast_exp=fast_exp)
     xspec = pl.BlockSpec((group, seq, d_model), lambda i: (i, 0, 0))
     mat = pl.BlockSpec((d_model, d_model), lambda i: (0, 0))
     vec = pl.BlockSpec((d_model,), lambda i: (0,))

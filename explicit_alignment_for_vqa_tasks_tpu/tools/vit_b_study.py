@@ -110,6 +110,10 @@ def main() -> None:
         "whole_g4_shipped": dataclasses.replace(base, fused_block_group=4),
         "whole_g8": dataclasses.replace(base, fused_block_group=8),
         "whole_g16": dataclasses.replace(base, fused_block_group=16),
+        "whole_g4_fe": dataclasses.replace(base, fused_block_group=4,
+                                           fused_block_long="whole_fe"),
+        "whole_g8_fe": dataclasses.replace(base, fused_block_group=8,
+                                           fused_block_long="whole_fe"),
         "split3_g4": dataclasses.replace(base, fused_block_long="split3",
                                          fused_block_group=4),
         "split3_g8": dataclasses.replace(base, fused_block_long="split3",

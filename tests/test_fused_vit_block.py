@@ -62,6 +62,78 @@ def test_fused_vit_block_matches_xla_block(group):
     assert np.all(cos > 0.999), cos.min()
 
 
+@pytest.mark.parametrize("group", [1, 4])
+def test_fused_vit_block_fast_exp(group):
+    """fast_exp (bf16 softmax exp + deferred division — the short-seq
+    VPU lever, fused_block_long='whole_fe'): same cosine bound as the
+    exact-kernel path vs the XLA block."""
+    cfg = CLIPVisionConfig.small_test()
+    lp = _layer0(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(6).standard_normal(
+            (8, cfg.seq_len, cfg.width)
+        ).astype(np.float32)
+    )
+    ref = _encoder_block(lp, x, None, cfg.num_heads, 1e-5)
+    got = fused_vit_block(
+        x, lp["ln1_scale"], lp["ln1_bias"],
+        lp["q"], lp["q_bias"], lp["k"], lp["k_bias"],
+        lp["v"], lp["v_bias"], lp["o"], lp["o_bias"],
+        lp["ln2_scale"], lp["ln2_bias"],
+        lp["mlp_fc"], lp["mlp_fc_bias"],
+        lp["mlp_proj"], lp["mlp_proj_bias"],
+        num_heads=cfg.num_heads, group=group, interpret=True,
+        fast_exp=True,
+    )
+    cos = (np.asarray(got) * np.asarray(ref)).sum(-1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(ref, axis=-1)
+    )
+    assert np.all(cos > 0.999), cos.min()
+
+
+def test_whole_fe_selects_fast_exp_tower():
+    """fused_block_long='whole_fe' routes the short-seq tower through
+    the fast_exp whole-block kernel and stays cosine-close to exact."""
+    cfg = CLIPVisionConfig.small_test()
+    params = init_clip_vision_params(jax.random.PRNGKey(7), cfg,
+                                     jnp.float32)
+    rng = np.random.default_rng(8)
+    images = jnp.asarray(
+        rng.standard_normal((4, 28, 28, 3)).astype(np.float32)
+    )
+    exact = np.asarray(clip_encode_image(params, cfg, images))
+    fe_cfg = dataclasses.replace(cfg, fused_block=True,
+                                 fused_block_group=2,
+                                 fused_block_long="whole_fe")
+    fused = np.asarray(clip_encode_image(params, fe_cfg, images))
+    cos = (exact * fused).sum(-1) / (
+        np.linalg.norm(exact, axis=-1) * np.linalg.norm(fused, axis=-1)
+    )
+    assert np.all(cos > 0.999), cos
+
+
+def test_split3_short_seq_path_matches_exact():
+    """fused_block_long='split3' is selectable at short seq (the
+    vit_b_study shootout surface): three fused programs, grouped like
+    the whole-block kernel, cosine-close to the exact tower."""
+    cfg = CLIPVisionConfig.small_test()
+    params = init_clip_vision_params(jax.random.PRNGKey(9), cfg,
+                                     jnp.float32)
+    rng = np.random.default_rng(10)
+    images = jnp.asarray(
+        rng.standard_normal((4, 28, 28, 3)).astype(np.float32)
+    )
+    exact = np.asarray(clip_encode_image(params, cfg, images))
+    s3_cfg = dataclasses.replace(cfg, fused_block=True,
+                                 fused_block_group=2,
+                                 fused_block_long="split3")
+    fused = np.asarray(clip_encode_image(params, s3_cfg, images))
+    cos = (exact * fused).sum(-1) / (
+        np.linalg.norm(exact, axis=-1) * np.linalg.norm(fused, axis=-1)
+    )
+    assert np.all(cos > 0.999), cos
+
+
 def test_fused_block_tower_matches_exact():
     cfg = CLIPVisionConfig.small_test()
     params = init_clip_vision_params(jax.random.PRNGKey(2), cfg, jnp.float32)
