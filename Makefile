@@ -1,17 +1,25 @@
 # Developer conveniences. Tests run on a virtual 8-device CPU mesh;
 # bench requires the TPU (run nothing else TPU-bound concurrently).
+#
+# Tiers (pytest markers, see pyproject.toml):
+#   test-fast  — unmarked tests only: < 2 min on 1 CPU, the pre-commit gate
+#   test-heavy — @heavy: full model stacks / e2e CLI / HF parity (~15 min)
+#   test-slow  — @slow: real multi-process workers (~10 min)
+#   test       — everything (~25-30 min on 1 CPU)
 
-.PHONY: test test-fast bench bench-generate native lint
+.PHONY: test test-fast test-heavy test-slow bench bench-generate native lint
 
 test:
 	python -m pytest tests/ -x -q
 
 test-fast:
-	python -m pytest tests/ -x -q \
-	  --ignore=tests/test_t5_parity.py \
-	  --ignore=tests/test_model_wrappers.py \
-	  --ignore=tests/test_decoding.py \
-	  --ignore=tests/test_beam_search.py
+	python -m pytest tests/ -x -q -m "not heavy and not slow"
+
+test-heavy:
+	python -m pytest tests/ -x -q -m heavy
+
+test-slow:
+	python -m pytest tests/ -x -q -m slow
 
 bench:
 	python bench.py

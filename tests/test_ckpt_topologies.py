@@ -16,6 +16,8 @@ import pytest
 
 jax = pytest.importorskip("jax")
 
+pytestmark = pytest.mark.heavy  # full model stacks; see Makefile tiers
+
 from test_executor_mesh import _build_cc_executor  # noqa: E402
 
 MESH_3D = {"data": 2, "pipe": 2, "model": 2}

@@ -10,6 +10,8 @@ import pytest
 
 jax = pytest.importorskip("jax")
 
+pytestmark = pytest.mark.heavy  # full model stacks; see Makefile tiers
+
 from explicit_alignment_for_vqa_tasks_tpu.registry import (  # noqa: E402
     DATA_LOADERS,
     EXECUTORS,

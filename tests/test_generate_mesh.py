@@ -8,6 +8,8 @@ import numpy as np
 import pytest
 
 jax = pytest.importorskip("jax")
+
+pytestmark = pytest.mark.heavy  # full model stacks; see Makefile tiers
 import jax.numpy as jnp  # noqa: E402
 from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
 

@@ -8,6 +8,8 @@ import numpy as np
 import pytest
 
 jax = pytest.importorskip("jax")
+
+pytestmark = pytest.mark.heavy  # full model stacks; see Makefile tiers
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
