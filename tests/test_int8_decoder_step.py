@@ -15,6 +15,8 @@ import numpy as np
 import pytest
 
 jax = pytest.importorskip("jax")
+
+pytestmark = pytest.mark.heavy  # full model stacks; see Makefile tiers
 import jax.numpy as jnp  # noqa: E402
 
 from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (  # noqa: E402

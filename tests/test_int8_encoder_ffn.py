@@ -16,6 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # full model stacks; see Makefile tiers
+
 from explicit_alignment_for_vqa_tasks_tpu.models.t5 import (
     T5Config,
     init_t5_params,

@@ -4,6 +4,8 @@ import numpy as np
 import pytest
 
 jax = pytest.importorskip("jax")
+
+pytestmark = pytest.mark.heavy  # full model stacks; see Makefile tiers
 import dataclasses  # noqa: E402
 
 import jax.numpy as jnp  # noqa: E402

@@ -89,6 +89,7 @@ class TestT5PartitionSpecs:
 
 
 class TestGraftEntry:
+    pytestmark = pytest.mark.heavy  # see Makefile tiers
     def test_dryrun_multichip_8(self):
         import __graft_entry__
 

@@ -137,6 +137,7 @@ class TestCCExtraction:
 
 
 class TestGenerateCaptions:
+    pytestmark = pytest.mark.heavy  # see Makefile tiers
     def test_generate_captions_with_forced_prefix(self):
         from explicit_alignment_for_vqa_tasks_tpu.data.tokenization import (
             SimpleTokenizer,
@@ -212,6 +213,7 @@ class TestAnalysis:
 
 
 class TestInt8DriftStudy:
+    pytestmark = pytest.mark.heavy  # see Makefile tiers
     def test_tiny_smoke_runs_all_variants(self, capsys, monkeypatch):
         """--tiny exercises the drift-study machinery (calibration, the
         four quantization variants incl. full_stack with int8 cross-KV
