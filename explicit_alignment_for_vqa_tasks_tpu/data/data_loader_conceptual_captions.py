@@ -104,6 +104,22 @@ class DataLoaderConceptualCaptions(DataLoaderWrapper):
 
     def set_dataloader(self) -> None:
         cc = self.data.conceptual_captions
+        # multi-process training: each process feeds its [i::P] shard
+        # (post-shuffle, same seed everywhere -> disjoint, exhaustive);
+        # the executor's global-mesh _shard re-unites them into the
+        # global batch
+        shard_id, num_shards = 0, 1
+        if self.config.data_loader.additional.get("shard_train_by_process",
+                                                  1):
+            import jax
+
+            if jax.process_count() > 1:
+                shard_id = jax.process_index()
+                num_shards = jax.process_count()
+                logger.info(
+                    "sharding CC data by process: shard %d/%d",
+                    shard_id, num_shards,
+                )
         self.train_dataset = cc.train
         self.train_dataloader = BatchIterator(
             cc.train,
@@ -116,6 +132,8 @@ class DataLoaderConceptualCaptions(DataLoaderWrapper):
             num_workers=self.config.data_loader.additional.get(
                 "num_workers", 8
             ),
+            shard_id=shard_id,
+            num_shards=num_shards,
         )
         self.test_dataset = cc.val
         self.test_dataloader = BatchIterator(
@@ -126,6 +144,8 @@ class DataLoaderConceptualCaptions(DataLoaderWrapper):
             num_workers=self.config.data_loader.additional.get(
                 "num_workers_test", 4
             ),
+            shard_id=shard_id,
+            num_shards=num_shards,
         )
         logger.info(
             "[Data Statistics] train batches %d / test batches %d",

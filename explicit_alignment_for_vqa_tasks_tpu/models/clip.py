@@ -83,6 +83,16 @@ class CLIPVisionConfig:
     #                   core's bottleneck, the half-rate head_dim-64
     #                   MXU contractions are)
     #   "split_c2fe"  — both of the above (371.6)
+    # SHORT-sequence (seq <= 128, ViT-B/32) overrides, all measured
+    # SLOWER than the default whole-block G=4 kernel in the round-4
+    # shootout (tools/vit_b_study.py, PARITY.md "ViT-B/32 accounting"):
+    #   "split3"      — the three-program recipe at short seq, grouped
+    #                   like the whole-block kernel (13.2k vs 14.9k
+    #                   img/s — the extra x/qkv HBM round-trips lose
+    #                   when the whole block fits VMEM)
+    #   "whole_fe"    — whole-block kernel with bf16-exp + deferred-
+    #                   division softmax (14.7k — the head-loop
+    #                   serialization, not exp width, is the cost)
     fused_block_long: str = ""
     # int8 whole-block kernel (ops/fused_attention_block.fused_vit_block_q8):
     # the six projection matmuls run int8 on the MXU (~1.9x the bf16

@@ -125,10 +125,34 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     return {k: put(v) for k, v in batch.items()}
 
 
+def spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh includes devices of other processes (a global
+    multi-controller mesh): plain ``jax.device_put`` of host data cannot
+    target it, the make_array_* constructors must be used instead."""
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
+def put_host_array(mesh: Mesh, spec: P, x: Any) -> Any:
+    """Place a host-available value on the mesh under ``spec``.
+
+    Single-process: plain device_put. Multi-process (global mesh): every
+    process must hold the SAME host value (same seed / same checkpoint —
+    the executors' invariant for params); each process supplies its
+    addressable shards via ``jax.make_array_from_callback``, which is
+    layout-agnostic (works for replicated AND model-sharded specs)."""
+    sharding = NamedSharding(mesh, spec)
+    if not spans_processes(mesh):
+        return jax.device_put(x, sharding)
+    host = np.asarray(x)
+    return jax.make_array_from_callback(
+        host.shape, sharding, lambda idx: host[idx]
+    )
+
+
 def replicate_params(mesh: Mesh, params: Any) -> Any:
     """Replicate a param pytree across the mesh."""
-    sharding = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), params)
+    return jax.tree.map(lambda x: put_host_array(mesh, P(), x), params)
 
 
 # ---------------------------------------------------------------------------
@@ -170,8 +194,9 @@ def t5_param_specs(params: Any) -> Any:
 
 
 def shard_lm_params(mesh: Mesh, params: Any) -> Any:
-    """Place LM params per t5_param_specs (no-op sharding on 1-dev mesh)."""
+    """Place LM params per t5_param_specs (no-op sharding on 1-dev mesh;
+    make_array-based placement on global multi-process meshes)."""
     specs = t5_param_specs(params)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+        lambda x, s: put_host_array(mesh, s, x), params, specs
     )

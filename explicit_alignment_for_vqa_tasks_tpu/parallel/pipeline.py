@@ -122,11 +122,11 @@ def pp_param_specs(params: Params) -> Params:
 
 
 def shard_lm_params_pp(mesh: Mesh, params: Params) -> Params:
-    from jax.sharding import NamedSharding
+    from .mesh import put_host_array
 
     specs = pp_param_specs(params)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+        lambda x, s: put_host_array(mesh, s, x), params, specs
     )
 
 

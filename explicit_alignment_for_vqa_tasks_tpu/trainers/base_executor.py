@@ -205,16 +205,43 @@ class BaseExecutor(MetricsProcessor):
     def _shard(self, array) -> Any:
         """Shard a batch array's leading axis over the mesh data axis —
         or (dcn_data, data) on a hybrid multi-slice mesh (pass-through
-        when no mesh)."""
+        when no mesh).
+
+        On a GLOBAL multi-process mesh the local array is this process's
+        [i::P] loader shard of a notional global batch: it becomes the
+        process-local portion via ``make_array_from_process_local_data``
+        (the multi-controller contract — every process must feed the
+        same local batch size each step, which the process-sharded
+        loaders guarantee for drop-equal batches)."""
         if self.mesh is None:
             return array
         import jax
 
-        from ..parallel.mesh import batch_sharding, data_size
+        from ..parallel.mesh import (
+            batch_sharding,
+            data_size,
+            spans_processes,
+        )
 
+        sharding = batch_sharding(self.mesh)
+        if spans_processes(self.mesh):
+            import numpy as np
+
+            n_local = jax.process_count()
+            global_rows = array.shape[0] * n_local
+            if global_rows % data_size(self.mesh) != 0:
+                raise ValueError(
+                    f"multi-process mesh: global batch {global_rows} "
+                    f"(local {array.shape[0]} x {n_local} processes) must "
+                    f"divide the mesh's {data_size(self.mesh)} data ways — "
+                    "pad or drop the last partial batch"
+                )
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(array)
+            )
         if array.shape[0] % data_size(self.mesh) != 0:
             return array  # non-divisible batch: replicate
-        return jax.device_put(array, batch_sharding(self.mesh))
+        return jax.device_put(array, sharding)
 
     # ------------------------------------------------------------------
     def setup(self, multi_logger: Optional[MultiLogger] = None) -> None:
@@ -337,6 +364,10 @@ class BaseExecutor(MetricsProcessor):
                 )
                 state = dict(self.trainable_state())
                 state["epoch"] = np.asarray(epoch)
+                # multi-controller runs: EVERY process must call the
+                # orbax save (it synchronizes internally; the primary
+                # host writes the replicated state); the index JSON is
+                # host-0-only inside save_checkpoint
                 save_checkpoint(
                     cfg.saved_model_path, epoch, state,
                     metric_value=val_metrics.get(metric_name),

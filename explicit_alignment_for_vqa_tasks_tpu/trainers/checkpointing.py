@@ -50,10 +50,18 @@ def save_checkpoint(
     metric_value: Optional[float] = None,
     metric_mode: str = "min",
 ) -> str:
-    """Save ``model_{epoch:02d}`` and update last/best aliases."""
+    """Save ``model_{epoch:02d}`` and update last/best aliases.
+
+    Multi-controller runs: EVERY process must call this with the same
+    path (orbax synchronizes internally and the primary host writes the
+    replicated state); the index JSON below is written by host 0 only."""
+    import jax
+
     name = f"model_{epoch:02d}"
     path = os.path.abspath(os.path.join(saved_model_path, name))
     _checkpointer().save(path, state, force=True)
+    if jax.process_index() != 0:
+        return path
     index = _load_index(saved_model_path)
     if name not in index["epochs"]:
         index["epochs"].append(name)

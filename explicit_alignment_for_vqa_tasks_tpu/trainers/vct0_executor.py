@@ -91,18 +91,40 @@ class VCT0Executor(BaseExecutor):
 
         return eval_loss
 
-    def _pad_for_pipeline(self, clip, labels):
-        """Pad the batch to a multiple of data x n_micro. Exact: rows whose
-        labels are all -100 contribute zero to both the token-CE numerator
-        and the valid-token count (pipeline.py's psum'd mean), so the loss
-        and mapper gradients are unchanged."""
-        if not self.pipelined:
+    def _pad_for_pipeline(self, clip, labels, nominal: int = 0):
+        """Pad the batch so the active topology accepts it. Exact: rows
+        whose labels are all -100 contribute zero to both the token-CE
+        numerator and the valid-token count, so the loss and mapper
+        gradients are unchanged.
+
+        Pipelined mesh: pad to a multiple of data x n_micro. GLOBAL
+        multi-process mesh: pad to the NOMINAL per-process batch size AND
+        pad the label axis to the static max_target_length — every
+        process must feed the same local shapes each step
+        (multi-controller contract), which a short last loader shard or
+        the collate's pad-to-longest-in-batch would otherwise break."""
+        target = None
+        if self.pipelined:
+            mult = self.mesh.shape["data"] * self.n_micro
+            target = clip.shape[0] + ((-clip.shape[0]) % mult)
+        elif nominal and self.mesh is not None:
+            from ..parallel.mesh import spans_processes
+
+            if spans_processes(self.mesh):
+                target = nominal
+                tgt_len = int(
+                    self.config.data_loader.additional.max_target_length
+                )
+                if labels.shape[1] < tgt_len:
+                    labels = jnp.concatenate(
+                        [labels, jnp.full(
+                            (labels.shape[0], tgt_len - labels.shape[1]),
+                            -100, labels.dtype)],
+                        axis=1,
+                    )
+        if target is None or clip.shape[0] >= target:
             return clip, labels
-        mult = self.mesh.shape["data"] * self.n_micro
-        b = clip.shape[0]
-        pad = (-b) % mult
-        if pad == 0:
-            return clip, labels
+        pad = target - clip.shape[0]
         clip = jnp.concatenate(
             [clip, jnp.zeros((pad, *clip.shape[1:]), clip.dtype)], axis=0
         )
@@ -115,7 +137,8 @@ class VCT0Executor(BaseExecutor):
     # ------------------------------------------------------------------
     def training_step(self, batch: AttrDict, batch_idx: int) -> Dict:
         clip, labels = self._pad_for_pipeline(
-            jnp.asarray(batch.clip_embeddings), jnp.asarray(batch.labels)
+            jnp.asarray(batch.clip_embeddings), jnp.asarray(batch.labels),
+            nominal=int(self.config.train.batch_size),
         )
         clip = self._shard(clip)
         labels = self._shard(labels)
@@ -148,14 +171,30 @@ class VCT0Executor(BaseExecutor):
 
     # ------------------------------------------------------------------
     def _generative_step(self, batch: AttrDict, batch_idx: int) -> Dict:
+        from ..parallel.mesh import spans_processes
+
+        multiproc_mesh = self.mesh is not None and \
+            spans_processes(self.mesh)
         clip = jnp.asarray(batch.clip_embeddings)
         labels = jnp.asarray(batch.labels)
-        loss_clip, loss_labels = self._pad_for_pipeline(clip, labels)
+        loss_clip, loss_labels = self._pad_for_pipeline(
+            clip, labels, nominal=int(self.config.valid.batch_size)
+        )
+        if multiproc_mesh:
+            # global val loss over the union of the process shards
+            loss_clip = self._shard(loss_clip)
+            loss_labels = self._shard(loss_labels)
         loss = float(self._eval_loss(
             self.model.params["mapper"], self.model.params["lm"],
             loss_clip, loss_labels,
         ))
         out: Dict[str, Any] = {"loss": loss, "table_entries": []}
+        if multiproc_mesh:
+            # caption generation stays a per-host (use_mesh=False +
+            # prediction gather) concern — under a global mesh each
+            # process's jit would silently assume its different local
+            # batch is replicated
+            return out
         if batch_idx < NUM_CAPTION_GEN_BATCHES:
             tokens, _ = self.model.generate(
                 prefix=clip[:, None, :],
