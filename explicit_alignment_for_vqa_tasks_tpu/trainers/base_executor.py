@@ -227,12 +227,12 @@ class BaseExecutor(MetricsProcessor):
         if spans_processes(self.mesh):
             import numpy as np
 
-            n_local = jax.process_count()
-            global_rows = array.shape[0] * n_local
+            nprocs = jax.process_count()
+            global_rows = array.shape[0] * nprocs
             if global_rows % data_size(self.mesh) != 0:
                 raise ValueError(
                     f"multi-process mesh: global batch {global_rows} "
-                    f"(local {array.shape[0]} x {n_local} processes) must "
+                    f"(local {array.shape[0]} x {nprocs} processes) must "
                     f"divide the mesh's {data_size(self.mesh)} data ways — "
                     "pad or drop the last partial batch"
                 )

@@ -103,25 +103,29 @@ class VCT0Executor(BaseExecutor):
         process must feed the same local shapes each step
         (multi-controller contract), which a short last loader shard or
         the collate's pad-to-longest-in-batch would otherwise break."""
+        from ..parallel.mesh import spans_processes
+
+        multiproc = self.mesh is not None and spans_processes(self.mesh)
         target = None
         if self.pipelined:
             mult = self.mesh.shape["data"] * self.n_micro
-            target = clip.shape[0] + ((-clip.shape[0]) % mult)
-        elif nominal and self.mesh is not None:
-            from ..parallel.mesh import spans_processes
-
-            if spans_processes(self.mesh):
-                target = nominal
-                tgt_len = int(
-                    self.config.data_loader.additional.max_target_length
+            base = max(clip.shape[0], nominal if multiproc else 0)
+            target = base + ((-base) % mult)
+        elif nominal and multiproc:
+            target = nominal
+        if multiproc:
+            # static label length: the collate pads to longest-in-batch,
+            # which differs across the processes' shards
+            tgt_len = int(
+                self.config.data_loader.additional.max_target_length
+            )
+            if labels.shape[1] < tgt_len:
+                labels = jnp.concatenate(
+                    [labels, jnp.full(
+                        (labels.shape[0], tgt_len - labels.shape[1]),
+                        -100, labels.dtype)],
+                    axis=1,
                 )
-                if labels.shape[1] < tgt_len:
-                    labels = jnp.concatenate(
-                        [labels, jnp.full(
-                            (labels.shape[0], tgt_len - labels.shape[1]),
-                            -100, labels.dtype)],
-                        axis=1,
-                    )
         if target is None or clip.shape[0] >= target:
             return clip, labels
         pad = target - clip.shape[0]
