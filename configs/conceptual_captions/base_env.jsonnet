@@ -62,6 +62,9 @@ local conceptual_captions = {
     // the GPipe pipeline (parallel/pipeline.py); "n_micro" sets the
     // microbatch count and "sequence_parallel" sequence-shards the
     // residual stream over the model axis inside stages.
+    // Multi-slice: "dcn_data" > 1 adds the outer DCN axis
+    // (docs/scaling.md); executor-driven multi-controller training
+    // is certified in tests/test_multiprocess_executor_train.py.
     "mesh": {"data": -1, "pipe": 1, "model": 1},
     "n_micro": 2,
     "sequence_parallel": false,

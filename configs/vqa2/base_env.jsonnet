@@ -98,7 +98,10 @@ local caption_features = {
     // generate mode pipeline the encoder over `pipe`; decode runs
     // tp-sharded on pipe-gathered decoder params (docs/scaling.md).
     // Optional pipeline knobs (defaults shown): "n_micro": 2 microbatches
-    // per data shard, "sequence_parallel": false.
+    // per data shard, "sequence_parallel": false. The int8 modes
+    // compose with pipe > 1 (round 4). Multi-slice runs: "dcn_data"
+    // > 1 adds an outer slow-network axis (batch shards over
+    // (dcn_data, data); docs/scaling.md "Multi-slice").
     "mesh": {"data": -1, "pipe": 1, "model": 1},
     "compute_dtype": "bfloat16",
     "params_dtype": "bfloat16",
