@@ -442,7 +442,17 @@ def quantize_vision_blocks(params: Params) -> Params:
 
     blocks = params["blocks"]
     out: Params = {}
-    for name in ("q", "k", "v", "o", "mlp_fc", "mlp_proj"):
+    # q/k/v fuse into one (d_in, 3*d_out) matrix so the whole-block
+    # kernel quantizes their shared input once (per-output-channel
+    # scales are column-independent, so quantize-then-concat is exact)
+    qkv = np.concatenate(
+        [np.asarray(blocks[n], np.float32) for n in ("q", "k", "v")],
+        axis=-1,
+    )  # (layers, d_in, 3*d_out)
+    pairs = [quantize_weight_i8(qkv[i]) for i in range(qkv.shape[0])]
+    out["qkv"] = jnp.asarray(np.stack([q for q, _ in pairs]))
+    out["qkv_scale"] = jnp.asarray(np.stack([s for _, s in pairs]))
+    for name in ("o", "mlp_fc", "mlp_proj"):
         w = np.asarray(blocks[name], np.float32)  # (layers, d_in, d_out)
         pairs = [quantize_weight_i8(w[i]) for i in range(w.shape[0])]
         out[name] = jnp.asarray(np.stack([q for q, _ in pairs]))
@@ -491,9 +501,7 @@ def clip_encode_image(
         def layer(carry, lp):
             return fused_vit_block_q8(
                 carry, lp["ln1_scale"], lp["ln1_bias"],
-                lp["q8"], lp["q8_scale"], lp["q_bias"],
-                lp["k8"], lp["k8_scale"], lp["k_bias"],
-                lp["v8"], lp["v8_scale"], lp["v_bias"],
+                lp["qkv8"], lp["qkv8_scale"], lp["qkv_bias"],
                 lp["o8"], lp["o8_scale"], lp["o_bias"],
                 lp["ln2_scale"], lp["ln2_bias"],
                 lp["fc8"], lp["fc8_scale"], lp["mlp_fc_bias"],
@@ -503,17 +511,18 @@ def clip_encode_image(
                 eps=cfg.layer_norm_epsilon,
             ), None
 
+        blocks = params["blocks"]
         q8 = params["blocks_q8"]
         stacked = {
-            k: params["blocks"][k]
+            k: blocks[k]
             for k in ("ln1_scale", "ln1_bias", "ln2_scale", "ln2_bias",
-                      "q_bias", "k_bias", "v_bias", "o_bias",
-                      "mlp_fc_bias", "mlp_proj_bias")
+                      "o_bias", "mlp_fc_bias", "mlp_proj_bias")
         }
         stacked.update({
-            "q8": q8["q"], "q8_scale": q8["q_scale"],
-            "k8": q8["k"], "k8_scale": q8["k_scale"],
-            "v8": q8["v"], "v8_scale": q8["v_scale"],
+            "qkv8": q8["qkv"], "qkv8_scale": q8["qkv_scale"],
+            "qkv_bias": jnp.concatenate(
+                [blocks["q_bias"], blocks["k_bias"], blocks["v_bias"]],
+                axis=-1),
             "o8": q8["o"], "o8_scale": q8["o_scale"],
             "fc8": q8["mlp_fc"], "fc8_scale": q8["mlp_fc_scale"],
             "pr8": q8["mlp_proj"], "pr8_scale": q8["mlp_proj_scale"],
@@ -538,9 +547,7 @@ def clip_encode_image(
         def layer(carry, lp):
             q, k, v = fused_qkv_q8(
                 carry, lp["ln1_scale"], lp["ln1_bias"],
-                lp["q8"], lp["q8_scale"], lp["q_bias"],
-                lp["k8"], lp["k8_scale"], lp["k_bias"],
-                lp["v8"], lp["v8_scale"], lp["v_bias"],
+                lp["qkv8"], lp["qkv8_scale"], lp["qkv_bias"],
                 scale=head_dim ** -0.5, group=1,
                 eps=cfg.layer_norm_epsilon,
             )
@@ -555,16 +562,17 @@ def clip_encode_image(
                 group=1, eps=cfg.layer_norm_epsilon,
             ), None
 
+        blocks = params["blocks"]
         stacked = {
-            k: params["blocks"][k]
+            k: blocks[k]
             for k in ("ln1_scale", "ln1_bias", "ln2_scale", "ln2_bias",
-                      "q_bias", "k_bias", "v_bias", "o", "o_bias",
-                      "mlp_fc_bias", "mlp_proj_bias")
+                      "o", "o_bias", "mlp_fc_bias", "mlp_proj_bias")
         }
         stacked.update({
-            "q8": q8["q"], "q8_scale": q8["q_scale"],
-            "k8": q8["k"], "k8_scale": q8["k_scale"],
-            "v8": q8["v"], "v8_scale": q8["v_scale"],
+            "qkv8": q8["qkv"], "qkv8_scale": q8["qkv_scale"],
+            "qkv_bias": jnp.concatenate(
+                [blocks["q_bias"], blocks["k_bias"], blocks["v_bias"]],
+                axis=-1),
             "fc8": q8["mlp_fc"], "fc8_scale": q8["mlp_fc_scale"],
             "pr8": q8["mlp_proj"], "pr8_scale": q8["mlp_proj_scale"],
         })
