@@ -65,6 +65,17 @@ def main() -> None:
                         "(self q/k/v/o, cross q/o, FFN) — halves the "
                         "per-step HBM weight stream; composes with the "
                         "other int8 flags")
+    parser.add_argument("--ensembles", type=int, default=0,
+                        help="E > 0: measure the prompt-permutation "
+                        "ensembling eval surface (E members per question, "
+                        "sequence-log-prob argmax pick — the reference's "
+                        "--num_permutations_of_in_context_examples)")
+    parser.add_argument("--members_per_call", type=int, default=1,
+                        help="with --ensembles: stack m members into the "
+                        "batch dim per generate call "
+                        "(tpu.ensemble_members_per_call; 1 = the "
+                        "reference-style per-member loop). Total rows per "
+                        "call = batch*m — size to chip capacity")
     args = parser.parse_args()
 
     if args.fused_ffn or args.int8_ffn or args.int8_attn:
@@ -166,14 +177,39 @@ def main() -> None:
         mean_forced_len = float(sampled.mean())
         force_eos_at = jnp.asarray(sampled.astype(np.int32))
 
-    def step():
-        out_tokens, logprobs = model.generate(
-            prefix=prefix_j, question_tokens=tok_j, question_mask=mask_j,
-            max_new_tokens=args.decode_steps, force_eos_at=force_eos_at,
-        )
-        # fetch forces execution (block_until_ready is unreliable through
-        # the axon tunnel)
-        return float(jnp.sum(logprobs))
+    if args.ensembles > 0:
+        from explicit_alignment_for_vqa_tasks_tpu.trainers.\
+            few_shot_vqa_executor import ensemble_generate
+
+        E = args.ensembles
+        ens_tokens = rng.integers(10, 30000, size=(B, E, L)).astype(np.int32)
+        for i in range(P):
+            ens_tokens[:, :, i * (L // P)] = T5_SENTINEL_BASE - i
+        ens_mask = np.ones((B, E, L), dtype=np.int32)
+        ens_prefix = rng.standard_normal((B, E, P, 768)).astype(np.float32)
+        ens_tok_j = jnp.asarray(ens_tokens)
+        ens_mask_j = jnp.asarray(ens_mask)
+        ens_prefix_j = jnp.asarray(ens_prefix)
+
+        def step():
+            # ensemble_generate fetches to host (the argmax pick), so the
+            # timing includes the full eval-surface sync
+            picked = ensemble_generate(
+                model, ens_tok_j, ens_mask_j, ens_prefix_j,
+                num_ensembles=E, num_shots=None, no_prefix=False,
+                max_new_tokens=args.decode_steps, mode="permutation",
+                members_per_call=args.members_per_call,
+            )
+            return float(picked.sum())
+    else:
+        def step():
+            out_tokens, logprobs = model.generate(
+                prefix=prefix_j, question_tokens=tok_j, question_mask=mask_j,
+                max_new_tokens=args.decode_steps, force_eos_at=force_eos_at,
+            )
+            # fetch forces execution (block_until_ready is unreliable
+            # through the axon tunnel)
+            return float(jnp.sum(logprobs))
 
     t0 = time.perf_counter()
     step()
@@ -201,6 +237,10 @@ def main() -> None:
             "int8_encoder_ffn": bool(args.int8_ffn),
             "int8_encoder_attn": bool(args.int8_attn),
             "int8_decoder_step": bool(args.int8_decoder),
+            "ensembles": args.ensembles or None,
+            "members_per_call": (
+                args.members_per_call if args.ensembles else None
+            ),
         },
     }))
 

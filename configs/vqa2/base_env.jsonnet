@@ -127,6 +127,12 @@ local caption_features = {
     //                              copies (~2.7 GB at T0-3B) so the
     //                              B=64+ capacity points fit — eval-only
     //                              (teacher-forced passes raise)
+    //   "ensemble_members_per_call": m   ensemble/permutation eval:
+    //                              stack m members into the batch dim
+    //                              per generate call (predictions ==
+    //                              the per-member loop; m*batch rows
+    //                              must fit the chip — bf16 caps near
+    //                              32 total rows at T0-3B, int8 at 64)
   },
   "cache": {
     "default_folder": default_cache_folder,

@@ -28,6 +28,88 @@ TABLE_COLUMNS = [
 ]
 
 
+def ensemble_generate(
+    model: Any,
+    input_ids: jnp.ndarray,        # (B, E, L)
+    attention_mask: jnp.ndarray,   # (B, E, L)
+    clip_embeddings: jnp.ndarray,
+    num_ensembles: int,
+    num_shots: Optional[int],
+    no_prefix: bool,
+    max_new_tokens: int,
+    mode: str,
+    num_beams: int = 1,
+    members_per_call: int = 1,
+) -> np.ndarray:
+    """Generate per ensemble member, score each sequence by summed token
+    log-prob (skipping ids {0,1,2}), argmax-pick
+    (reference: few_shot_vqa_executor.py:293-332). num_beams > 1
+    composes correctly: beam outputs carry TRUE per-token logprobs
+    (ops/decoding.py::beam_search_t5), so sequence_scores ranks ensemble
+    members identically for greedy and beam.
+
+    ``members_per_call = m`` (tpu.ensemble_members_per_call; default 1 =
+    the reference's per-member loop) stacks m members into the batch
+    dimension per generate call: the per-decode-step fixed costs
+    amortize over m*B rows and the per-member host sync (the np.asarray
+    fetch) drops to ceil(E/m) syncs. Member results are
+    row-independent, so predictions match the looped path. m is a
+    CAPACITY knob: each call's decode caches grow m-fold, so size it to
+    the chip (bf16 cross-KV caps near B=32 total rows at T0-3B flagship
+    shapes; the int8 stack fits 64 — docs/scaling.md)."""
+    batch = input_ids.shape[0]
+    members_per_call = max(1, min(members_per_call, num_ensembles))
+    all_tokens, all_scores = [], []
+    for start in range(0, num_ensembles, members_per_call):
+        chunk = list(range(
+            start, min(start + members_per_call, num_ensembles)
+        ))
+        m = len(chunk)
+        if mode == "one_shot":
+            # one in-context embedding + the test image per member
+            # (reference :298-299); (B, m, 2, prefix_size)
+            shots = clip_embeddings[:, chunk[0]:chunk[-1] + 1]
+            test_img = jnp.broadcast_to(
+                clip_embeddings[:, -1:][:, None],
+                (batch, m, 1) + clip_embeddings.shape[2:],
+            )
+            member_clip = jnp.concatenate(
+                [shots[:, :, None], test_img], axis=2
+            )
+        else:
+            # permutation i's full embedding set (reference :301-302)
+            member_clip = clip_embeddings[:, chunk[0]:chunk[-1] + 1]
+        # fold members into the batch dim: (B, m, ...) -> (B*m, ...)
+        member_clip = member_clip.reshape(
+            (batch * m,) + member_clip.shape[2:]
+        )
+        member_ids = input_ids[:, chunk[0]:chunk[-1] + 1].reshape(
+            batch * m, input_ids.shape[-1]
+        )
+        member_mask = attention_mask[:, chunk[0]:chunk[-1] + 1].reshape(
+            batch * m, attention_mask.shape[-1]
+        )
+        tokens, logprobs = model.generate(
+            prefix=member_clip,
+            question_tokens=member_ids,
+            question_mask=member_mask,
+            no_prefix=no_prefix,
+            num_shots=num_shots,
+            max_new_tokens=max_new_tokens,
+            num_beams=num_beams,
+        )
+        scores = sequence_scores(tokens, logprobs)
+        tokens_np = np.asarray(tokens).reshape(batch, m, -1)
+        scores_np = np.asarray(scores).reshape(batch, m)
+        for j in range(m):
+            all_tokens.append(tokens_np[:, j])
+            all_scores.append(scores_np[:, j])
+    scores = np.stack(all_scores, axis=1)         # (B, E)
+    best = np.argmax(scores, axis=1)
+    stacked = np.stack(all_tokens, axis=1)        # (B, E, T)
+    return stacked[np.arange(batch), best]
+
+
 @EXECUTORS.register()
 class FewShotVQAExecutor(BaseExecutor):
     """Eval-only executor: training_step is a no-op
@@ -269,39 +351,20 @@ class FewShotVQAExecutor(BaseExecutor):
         mode: str,
         num_beams: int = 1,
     ) -> jnp.ndarray:
-        """Generate per ensemble member, score each sequence by summed
-        token log-prob (skipping ids {0,1,2}), argmax-pick
-        (reference: few_shot_vqa_executor.py:293-332). num_beams > 1
-        composes correctly: beam outputs carry TRUE per-token logprobs
-        (ops/decoding.py::beam_search_t5), so sequence_scores ranks
-        ensemble members identically for greedy and beam."""
-        batch = input_ids.shape[0]
-        all_tokens, all_scores = [], []
-        for i in range(num_ensembles):
-            if mode == "one_shot":
-                # one in-context embedding + the test image
-                # (reference :298-299)
-                member_clip = jnp.stack(
-                    [clip_embeddings[:, i], clip_embeddings[:, -1]], axis=1
-                )
-            else:
-                # permutation i's full embedding set (reference :301-302)
-                member_clip = clip_embeddings[:, i]
-            tokens, logprobs = self.model.generate(
-                prefix=member_clip,
-                question_tokens=input_ids[:, i],
-                question_mask=attention_mask[:, i],
-                no_prefix=no_prefix,
-                num_shots=num_shots,
-                max_new_tokens=max_new_tokens,
-                num_beams=num_beams,
-            )
-            all_tokens.append(np.asarray(tokens))
-            all_scores.append(np.asarray(sequence_scores(tokens, logprobs)))
-        scores = np.stack(all_scores, axis=1)         # (B, E)
-        best = np.argmax(scores, axis=1)
-        stacked = np.stack(all_tokens, axis=1)        # (B, E, T)
-        return stacked[np.arange(batch), best]
+        """Delegates to :func:`ensemble_generate` with
+        tpu.ensemble_members_per_call from config (default 1 = the
+        reference's per-member loop; m > 1 batches m members per
+        generate call — see the free function's docstring)."""
+        members_per_call = int(
+            self.config.get("tpu", {}).get("ensemble_members_per_call", 1)
+            or 1
+        )
+        return ensemble_generate(
+            self.model, input_ids, attention_mask, clip_embeddings,
+            num_ensembles=num_ensembles, num_shots=num_shots,
+            no_prefix=no_prefix, max_new_tokens=max_new_tokens, mode=mode,
+            num_beams=num_beams, members_per_call=members_per_call,
+        )
 
     # ------------------------------------------------------------------
     def evaluate_outputs(self, step_outputs: List[Dict],

@@ -330,6 +330,40 @@ class TestFewShotVQAEndToEnd:
         metrics = executor.test()
         assert "test_evaluation/accuracy_overall" in metrics
 
+    def test_batched_ensembles_match_looped(self, tmp_path):
+        """tpu.ensemble_members_per_call = m stacks m ensemble members
+        into the batch dimension per generate call (decode fixed costs
+        amortize over m*B rows; one host sync per ceil(E/m) members).
+        Members are row-independent, so predictions must match the
+        reference-style per-member loop exactly — for even and uneven
+        chunkings, in both ensemble modes, and under beam."""
+        fixtures = write_vqa_fixtures(tmp_path)
+
+        def run(members_per_call, **extra):
+            config = make_test_config(tmp_path, fixtures, **extra)
+            config.tpu.ensemble_members_per_call = members_per_call
+            executor = build_executor(config)
+            executor.test()
+            path = os.path.join(config.results_path, "answers.pkl")
+            with open(path, "rb") as fh:
+                return pickle.load(fh)
+
+        # permutation mode, E=3: m=2 exercises the uneven tail chunk,
+        # m=3 the single-call path
+        base = run(1, num_permutations_of_in_context_examples=3)
+        assert run(2, num_permutations_of_in_context_examples=3) == base
+        assert run(3, num_permutations_of_in_context_examples=3) == base
+        # one-shot ensembling mode (E = num_shots = 2)
+        base_os = run(1, ensemble_one_shots=1)
+        assert run(2, ensemble_one_shots=1) == base_os
+        # beam x batched ensembles
+        base_beam = run(
+            1, num_permutations_of_in_context_examples=3, num_beams=2
+        )
+        assert run(
+            2, num_permutations_of_in_context_examples=3, num_beams=2
+        ) == base_beam
+
     def test_permutation_ensembling_with_beam(self, tmp_path):
         """beam x ensemble composes: beam outputs carry true per-token
         logprobs (round-3 beam fix), so sequence_scores ranks ensemble

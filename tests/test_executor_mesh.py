@@ -321,6 +321,18 @@ def test_pipelined_eval_permutation_ensembling(tmp_path):
     )
 
 
+def test_pipelined_eval_batched_ensembles(tmp_path):
+    """Batched ensemble members (tpu.ensemble_members_per_call = 2, E=3
+    — uneven tail) under the 3-D mesh: the B*m member rows ride the
+    pipelined main twin with transparent batch padding and predictions
+    match single-device batched, which matches the per-member loop
+    (tests/test_e2e.py::test_batched_ensembles_match_looped)."""
+    _assert_pipelined_eval_matches_single_device(
+        tmp_path, num_permutations_of_in_context_examples=3,
+        tpu_overrides={"ensemble_members_per_call": 2},
+    )
+
+
 def test_pipelined_eval_beam(tmp_path):
     """Beam search under the 3-D mesh: GPipe encoder + beam decode on
     pipe-gathered decoder params (parallel/pipeline.py::beam_generate_pp)
