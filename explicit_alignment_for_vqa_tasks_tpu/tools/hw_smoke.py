@@ -96,6 +96,27 @@ def main() -> None:
         metrics = executor.test()
         assert 0.0 <= metrics["test_evaluation/accuracy_overall"] <= 100.0
         print("hw_smoke beam eval OK", flush=True)
+    # batched ensemble members (tpu.ensemble_members_per_call): the
+    # looped and batched paths must produce identical answers on real
+    # Mosaic, not just the CPU mesh
+    with tempfile.TemporaryDirectory() as td:
+        tmp = Path(td)
+        fixtures = e2e.write_vqa_fixtures(tmp)
+        answers = []
+        for m in (1, 2):
+            config = e2e.make_test_config(
+                tmp, fixtures, num_permutations_of_in_context_examples=3,
+            )
+            config.tpu.compute_dtype = "bfloat16"
+            config.tpu.params_dtype = "bfloat16"
+            config.tpu.ensemble_members_per_call = m
+            executor = e2e.build_executor(config)
+            executor.test()
+            with open(os.path.join(config.results_path, "answers.pkl"),
+                      "rb") as fh:
+                answers.append(pickle.load(fh))
+        assert answers[0] == answers[1], "batched != looped ensembles"
+        print("hw_smoke batched-ensembles eval OK (== looped)", flush=True)
 
     # ---- 2. CC mapper training + checkpoint + resume, bf16 compute ----
     with tempfile.TemporaryDirectory() as td:
