@@ -240,8 +240,45 @@ class BaseExecutor(MetricsProcessor):
                 sharding, np.asarray(array)
             )
         if array.shape[0] % data_size(self.mesh) != 0:
+            # Replicating silently is a throughput cliff (the step runs on
+            # every device with the FULL batch) — warn once per run so a
+            # persistently misconfigured batch size is loud. Eval generate
+            # pads to a divisible size upstream (_dispatch_generative), so
+            # this fires only for train/val loss batches or exotic callers.
+            if not getattr(self, "_warned_nondivisible_batch", False):
+                self._warned_nondivisible_batch = True
+                logger.warning(
+                    "batch of %d rows does not divide the mesh's %d data "
+                    "ways — running REPLICATED (each device computes the "
+                    "full batch). Pad the batch or pick a divisible batch "
+                    "size to restore data parallelism. (warned once)",
+                    array.shape[0], data_size(self.mesh),
+                )
             return array  # non-divisible batch: replicate
         return jax.device_put(array, sharding)
+
+    def _pad_rows_to_data_multiple(self, array, group: int = 1):
+        """Pad ``array``'s leading axis (``group`` flat rows per logical
+        sample) by repeating the final sample so the logical sample count
+        divides the mesh's data axis — the eval-side fix for the
+        replication cliff above. Returns (padded, n_logical_samples).
+        Callers that index results by host-side metadata (e.g.
+        ``_collect_generative`` iterating ``batch.question_ids``) ignore
+        the extra rows without further bookkeeping."""
+        if self.mesh is None:
+            return array, array.shape[0] // group
+        from ..parallel.mesh import data_size
+
+        d = data_size(self.mesh)
+        n = array.shape[0] // group
+        if n % d == 0:
+            return array, n
+        import jax.numpy as jnp
+
+        pad_samples = d - (n % d)
+        tail = array[-group:]
+        reps = jnp.concatenate([tail] * pad_samples, axis=0)
+        return jnp.concatenate([array, reps], axis=0), n
 
     # ------------------------------------------------------------------
     def setup(self, multi_logger: Optional[MultiLogger] = None) -> None:

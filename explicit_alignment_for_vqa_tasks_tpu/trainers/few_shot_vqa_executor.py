@@ -220,18 +220,39 @@ class FewShotVQAExecutor(BaseExecutor):
         no_prefix = bool(additional.get("no_prefix", 0))
         num_beams = int(additional.get("num_beams", 1))
 
-        input_ids = self._shard(jnp.asarray(batch.generative_input_ids))
-        attention_mask = self._shard(
-            jnp.asarray(batch.generative_attention_mask)
+        # rows-per-question in the FLAT token arrays, per generate mode
+        if one_at_a_time:
+            group = num_shots + 1
+        elif ensemble_one_shots:
+            group = num_shots
+        elif num_perms > 0:
+            group = num_perms
+        else:
+            group = 1
+
+        # Pad the last partial batch to a data-axis multiple so it stays
+        # SHARDED instead of falling into _shard's replication path (the
+        # throughput cliff) — extra rows repeat the final question and are
+        # ignored by _collect_generative's metadata-driven loop.
+        input_ids, _ = self._pad_rows_to_data_multiple(
+            jnp.asarray(batch.generative_input_ids), group
         )
-        clip_embeddings = self._shard(jnp.asarray(batch.clip_embeddings))
+        attention_mask, _ = self._pad_rows_to_data_multiple(
+            jnp.asarray(batch.generative_attention_mask), group
+        )
+        clip_embeddings, _ = self._pad_rows_to_data_multiple(
+            jnp.asarray(batch.clip_embeddings)
+        )
+        input_ids = self._shard(input_ids)
+        attention_mask = self._shard(attention_mask)
+        clip_embeddings = self._shard(clip_embeddings)
 
         decoder_input_ids = None
         if "decoder_generative_input_ids" in batch:
             # drop the trailing token like the reference (:182)
-            decoder_input_ids = jnp.asarray(
-                batch.decoder_generative_input_ids
-            )[:, :-1]
+            decoder_input_ids, _ = self._pad_rows_to_data_multiple(
+                jnp.asarray(batch.decoder_generative_input_ids)[:, :-1]
+            )
 
         if one_at_a_time:
             # flat (B*(k+1), L) -> (B, k+1, L)
