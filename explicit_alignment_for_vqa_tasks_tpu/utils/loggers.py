@@ -36,8 +36,36 @@ class TensorBoardSink:
         self._writer.close()
 
 
+def lookup_wandb_run_id(wandb_mod: Any, entity: str, project: str,
+                        experiment_name: str) -> Optional[str]:
+    """Find an existing wandb run for this experiment name so the new
+    process resumes it with ``resume="must"`` (reference:
+    src/main.py:313-328). Returns None when no run exists or the API is
+    unreachable (zero-egress / offline runs fall back to
+    ``resume="allow"``). The reference's interactive run DELETION on
+    ``--reset`` (main.py:317-321) is deliberately not reproduced — this
+    framework is non-interactive; reset experiments keep their wandb
+    history and simply start a fresh run name-collision-free via
+    resume="allow"."""
+    try:
+        runs = wandb_mod.Api(timeout=19).runs(
+            path=f"{entity}/{project}",
+            filters={"config.experiment_name": experiment_name},
+        )
+        if len(runs) > 0:
+            return runs[0].id
+    except Exception as exc:
+        logger.info("wandb run lookup skipped (%s); resume='allow'", exc)
+    return None
+
+
 class WandbSink:
-    """wandb sink; silently disabled when wandb is not installed."""
+    """wandb sink; silently disabled when wandb is not installed.
+
+    Resume parity with the reference (src/main.py:313-328): when the
+    configured entity/project already holds a run with this experiment
+    name, init resumes THAT run id with ``resume="must"``; otherwise a
+    fresh run starts with ``resume="allow"``."""
 
     def __init__(self, config: Any):
         self._run = None
@@ -47,13 +75,23 @@ class WandbSink:
             logger.info("wandb not installed; skipping wandb logging")
             return
         wb_cfg = config.get("WANDB", {})
+        cache_dir = wb_cfg.get("CACHE_DIR", "")
+        if cache_dir:  # reference: src/main.py:303-305
+            os.environ["WANDB_CACHE_DIR"] = str(cache_dir)
+        entity = wb_cfg.get("entity") or None
+        project = wb_cfg.get("project") or "explicit-alignment-tpu"
+        name = config.get("experiment_name", "default")
+        run_id = None
+        if entity:
+            run_id = lookup_wandb_run_id(wandb, entity, project, name)
         self._run = wandb.init(
-            project=wb_cfg.get("project") or "explicit-alignment-tpu",
-            entity=wb_cfg.get("entity") or None,
-            name=config.get("experiment_name", "default"),
+            project=project,
+            entity=entity,
+            name=name,
+            id=run_id,
             tags=list(wb_cfg.get("tags", [])),
             config=config.to_dict() if hasattr(config, "to_dict") else dict(config),
-            resume="allow",
+            resume="must" if run_id else "allow",
         )
 
     def log_scalars(self, metrics: Dict[str, float], step: int) -> None:

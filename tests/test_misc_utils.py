@@ -81,3 +81,49 @@ def test_readme_counts_are_not_stale():
     with open(os.path.join(repo, "README.md"), encoding="utf-8") as fh:
         readme = fh.read()
     assert "200+ tests" in readme or "tests:" in readme.lower()
+
+
+class TestWandbResumeLookup:
+    """Reference resume parity (src/main.py:313-328): an existing run with
+    the same experiment_name is resumed by id with resume="must"; no run
+    or an unreachable API -> None (caller uses resume="allow")."""
+
+    class _FakeApi:
+        def __init__(self, runs, raise_exc=False):
+            self._runs, self._raise = runs, raise_exc
+
+        def runs(self, path, filters):
+            if self._raise:
+                raise ConnectionError("offline")
+            assert path == "me/proj"
+            assert filters == {"config.experiment_name": "exp1"}
+            return self._runs
+
+    class _FakeWandb:
+        def __init__(self, runs, raise_exc=False):
+            self._runs, self._raise = runs, raise_exc
+
+        def Api(self, timeout):
+            return TestWandbResumeLookup._FakeApi(self._runs, self._raise)
+
+    def test_found_run_returns_id(self):
+        from explicit_alignment_for_vqa_tasks_tpu.utils.loggers import (
+            lookup_wandb_run_id,
+        )
+
+        class Run:
+            id = "abc123"
+
+        wb = self._FakeWandb([Run()])
+        assert lookup_wandb_run_id(wb, "me", "proj", "exp1") == "abc123"
+
+    def test_no_run_or_offline_returns_none(self):
+        from explicit_alignment_for_vqa_tasks_tpu.utils.loggers import (
+            lookup_wandb_run_id,
+        )
+
+        assert lookup_wandb_run_id(
+            self._FakeWandb([]), "me", "proj", "exp1") is None
+        assert lookup_wandb_run_id(
+            self._FakeWandb([], raise_exc=True), "me", "proj", "exp1"
+        ) is None
