@@ -46,15 +46,17 @@ def question_knn(
     train_text_embeddings: Dict[str, np.ndarray],
     val_text_embeddings: Dict[str, np.ndarray],
     k: int = TOP_K_QUESTIONS,
+    mesh=None,
 ) -> Dict[str, Dict[str, np.ndarray]]:
     """Stages 1+2: cosine top-k of every val question over train questions.
 
     Returns the ``text_knns_reformatted.pkl`` schema:
     ``{str(val_qid): {"question_ids": [...], "similarities": (k,)}}``.
-    """
+    With ``mesh``, the train matrix is sharded over the data axis
+    (ops/knn.py multi-chip path)."""
     train_ids, train_matrix = _stack_embedding_dict(train_text_embeddings)
     val_ids, val_matrix = _stack_embedding_dict(val_text_embeddings)
-    sims, idx = knn_search(val_matrix, train_matrix, k)
+    sims, idx = knn_search(val_matrix, train_matrix, k, mesh=mesh)
     train_ids_arr = np.asarray(train_ids, dtype=object)
     return {
         str(val_ids[i]): {
@@ -72,6 +74,7 @@ def image_knn_from_text_knn(
     train_image_embeddings: Dict[str, np.ndarray],
     val_image_embeddings: Dict[str, np.ndarray],
     group_chunk: int = 1024,
+    mesh=None,
 ) -> Dict[Any, Dict]:
     """Stage 3: per val question, rank the UNIQUE train images of its
     question neighbours against the val image embedding.
@@ -147,6 +150,14 @@ def image_knn_from_text_knn(
         return {}
 
     db = l2_normalize(jnp.asarray(train_img_matrix))
+    if mesh is not None and dict(mesh.shape).get("data", 1) > 1:
+        # multi-chip: shard the unique-image matrix's rows over the data
+        # axis; the scores matmul runs as per-shard blocks and the
+        # take_along_axis gather pulls across shards (GSPMD). Equal to
+        # single-device up to matmul-tiling rounding.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        db = jax.device_put(db, NamedSharding(mesh, P("data", None)))
 
     @jax.jit
     def score_chunk(queries, cand_idx):
@@ -278,8 +289,10 @@ def run_full_pipeline(
     out_path: str,
     question_only: bool = False,
     k_questions: int = TOP_K_QUESTIONS,
+    mesh=None,
 ) -> Dict[str, List[Dict]]:
-    """All 4 stages end to end, writing the rices pickle."""
+    """All 4 stages end to end, writing the rices pickle. ``mesh``
+    shards the kNN databases over the data axis (multi-chip)."""
 
     def load(path):
         with open(path, "rb") as fh:
@@ -288,7 +301,7 @@ def run_full_pipeline(
     logger.info("stage 1+2: question kNN")
     question_nns = question_knn(
         load(train_text_embeddings_path), load(val_text_embeddings_path),
-        k=k_questions,
+        k=k_questions, mesh=mesh,
     )
     image_nns: Optional[Dict] = None
     if not question_only:
@@ -297,6 +310,7 @@ def run_full_pipeline(
             question_nns, train_data_items, val_data_items,
             load(train_image_embeddings_path),
             load(val_image_embeddings_path),
+            mesh=mesh,
         )
     logger.info("stage 4: joint ranking")
     rices = joint_ranking(

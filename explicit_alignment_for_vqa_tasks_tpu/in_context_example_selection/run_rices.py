@@ -34,9 +34,15 @@ def main() -> None:
     parser.add_argument("--out", required=True)
     parser.add_argument("--question_only", action="store_true")
     parser.add_argument("--k_questions", type=int, default=2048)
+    parser.add_argument(
+        "--mesh_data", type=int, default=1,
+        help="shard the kNN databases over N chips (-1 = all devices); "
+             "results are exactly equal to single-chip",
+    )
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
+    from ..parallel.mesh import make_data_mesh
     from .rices import run_full_pipeline
 
     train_items = _load_cache(args.train_cache)["data_items"]
@@ -46,6 +52,7 @@ def main() -> None:
         args.train_image_embeddings, args.val_image_embeddings,
         train_items, val_items, args.out,
         question_only=args.question_only, k_questions=args.k_questions,
+        mesh=make_data_mesh(args.mesh_data),
     )
 
 

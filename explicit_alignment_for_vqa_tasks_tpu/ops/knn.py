@@ -33,19 +33,106 @@ def _topk_chunk(queries: jnp.ndarray, database: jnp.ndarray, k: int):
     return jax.lax.top_k(scores, k)
 
 
+@functools.lru_cache(maxsize=8)
+def _make_sharded_topk(mesh, k: int, k_local: int, n_valid: int):
+    """Build the jitted multi-chip top-k for a (mesh, k, shapes) combo.
+
+    Database rows are sharded over the mesh's ``data`` axis; each device
+    computes its local (M, N/ndev) score block and local top-k_local, then
+    one small (M, k_local*ndev) all-gather feeds the final merge top-k.
+    Candidate order is (shard, local rank), so float-equal scores resolve
+    to the LOWEST global row index — identical tie-breaking to the
+    single-device ``lax.top_k`` (and FAISS IndexFlatIP).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    ndev = mesh.shape["data"]
+
+    def local(q, db_local):
+        shard = jax.lax.axis_index("data")
+        rows = db_local.shape[0]
+        scores = jnp.dot(q, db_local.T, preferred_element_type=jnp.float32)
+        gidx = shard * rows + jnp.arange(rows)
+        scores = jnp.where(gidx[None, :] < n_valid, scores, -jnp.inf)
+        s, li = jax.lax.top_k(scores, k_local)
+        return s, li + shard * rows
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("data", None)),
+        out_specs=(P(None, "data"), P(None, "data")),
+    )
+
+    @jax.jit
+    def search(q, db_sharded):
+        cand_s, cand_i = sharded(q, db_sharded)   # (M, k_local*ndev)
+        s, pos = jax.lax.top_k(cand_s, k)
+        return s, jnp.take_along_axis(cand_i, pos, axis=1)
+
+    del ndev
+    return search
+
+
+def _shard_database(mesh, db: jnp.ndarray):
+    """Pad the row axis to a data-axis multiple and place it sharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ndev = mesh.shape["data"]
+    n = db.shape[0]
+    rows = -(-n // ndev) * ndev
+    if rows != n:
+        db = jnp.pad(db, ((0, rows - n), (0, 0)))
+    return jax.device_put(db, NamedSharding(mesh, P("data", None)))
+
+
 def knn_search(
     queries: np.ndarray,       # (M, d)
     database: np.ndarray,      # (N, d)
     k: int,
     normalize: bool = True,
     query_chunk: int = 1024,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (similarities (M, k), indices (M, k)), sorted descending —
-    the FAISS ``index.search`` contract."""
+    the FAISS ``index.search`` contract.
+
+    With ``mesh`` (a jax Mesh with a ``data`` axis of size > 1) the
+    database rows are sharded across chips and each chunk's search runs
+    as local matmul+top-k per shard + one k-wide merge — the multi-chip
+    twin of the reference's FAISS-GPU stage
+    (reference: src/in_context_example_selection/get_question_knn.py:65-83).
+    Neighbour indices equal the single-device path (lowest-index
+    tie-breaking preserved); similarities may differ by matmul-tiling
+    rounding (tests/test_knn_rices.py::TestMultiChipKnn)."""
     db = jnp.asarray(database, dtype=jnp.float32)
     if normalize:
         db = l2_normalize(db)
     k = min(k, database.shape[0])
+    use_mesh = mesh is not None and dict(mesh.shape).get("data", 1) > 1
+    if use_mesh:
+        n_valid = db.shape[0]
+        db = _shard_database(mesh, db)
+        rows_per = db.shape[0] // mesh.shape["data"]
+        search_fn = _make_sharded_topk(
+            mesh, k, min(k, rows_per), n_valid
+        )
+        sims_out, idx_out = [], []
+        for start in range(0, queries.shape[0], query_chunk):
+            q = jnp.asarray(queries[start:start + query_chunk],
+                            dtype=jnp.float32)
+            if normalize:
+                q = l2_normalize(q)
+            pad = 0
+            if q.shape[0] < query_chunk and start > 0:
+                pad = query_chunk - q.shape[0]
+                q = jnp.pad(q, ((0, pad), (0, 0)))
+            sims, idx = search_fn(q, db)
+            if pad:
+                sims, idx = sims[:-pad], idx[:-pad]
+            sims_out.append(np.asarray(sims))
+            idx_out.append(np.asarray(idx))
+        return np.concatenate(sims_out), np.concatenate(idx_out)
     sims_out, idx_out = [], []
     for start in range(0, queries.shape[0], query_chunk):
         q = jnp.asarray(queries[start:start + query_chunk],

@@ -88,6 +88,25 @@ def make_mesh(config: Optional[Any] = None,
     return Mesh(mesh_devices, axis_names=("data", "model"))
 
 
+def make_data_mesh(data: int = -1) -> Optional[Mesh]:
+    """1-D ``data`` mesh for the offline bulk tools' ``--mesh_data N``
+    flag (CLIP extraction, RICES kNN): -1 = all local devices, 0/1 = no
+    mesh (single-chip path). The multi-chip twin of the reference's
+    FAISS-GPU / CUDA-CLIP stages, which scaled to one GPU only."""
+    if data in (0, 1):
+        return None
+    devices = jax.devices()
+    if data == -1:
+        data = len(devices)
+    if data > len(devices):
+        raise ValueError(
+            f"--mesh_data {data} > {len(devices)} available devices"
+        )
+    if data == 1:
+        return None
+    return Mesh(np.asarray(devices[:data]), ("data",))
+
+
 def data_axes(mesh: Mesh) -> tuple:
     """The mesh axes the batch shards over (outer-to-inner)."""
     return ("dcn_data", "data") if "dcn_data" in mesh.axis_names \

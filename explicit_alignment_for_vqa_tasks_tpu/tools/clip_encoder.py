@@ -48,6 +48,36 @@ def preprocess_image(image: "np.ndarray", image_size: int) -> np.ndarray:
     return (arr - mean) / std
 
 
+def _check_encoder_mesh(mesh, batch_size: int):
+    """Validate an optional extraction mesh (multi-chip bulk encode —
+    the scale-past-one-chip twin of the reference's FAISS-GPU stages).
+    Batches shard over the ``data`` axis, so the fixed batch size must
+    divide it. Returns the mesh, or None when it is effectively 1-way."""
+    if mesh is None:
+        return None
+    data = dict(mesh.shape).get("data", 1)
+    if data <= 1:
+        return None
+    if batch_size % data != 0:
+        raise ValueError(
+            f"encoder batch_size {batch_size} must divide the mesh's "
+            f"data={data} axis for sharded extraction"
+        )
+    return mesh
+
+
+def _shard_encoder_batch(mesh, batch: np.ndarray):
+    """Place a full fixed-size batch sharded over the data axis (no-op
+    without a mesh)."""
+    if mesh is None:
+        return batch
+    import jax
+
+    from ..parallel.mesh import batch_sharding
+
+    return jax.device_put(batch, batch_sharding(mesh))
+
+
 class ClipImageEncoder:
     """Jitted batched image encoder with fixed batch size."""
 
@@ -60,6 +90,7 @@ class ClipImageEncoder:
         param_dtype: Any = None,
         use_pallas: bool = False,
         int8: bool = False,
+        mesh: Optional[Any] = None,
     ):
         import functools
 
@@ -73,6 +104,7 @@ class ClipImageEncoder:
         )
 
         self.cfg = cfg or CLIPVisionConfig.vit_l_14_336()
+        self.mesh = _check_encoder_mesh(mesh, batch_size)
         self.batch_size = batch_size
         param_dtype = param_dtype or jnp.bfloat16
         if (int8 or self.cfg.fused_block) and self.cfg.seq_len > 128:
@@ -116,6 +148,11 @@ class ClipImageEncoder:
             self.params["blocks_q8"] = quantize_vision_blocks(self.params)
             self.cfg = dataclasses.replace(self.cfg, int8=True)
 
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate_params
+
+            self.params = replicate_params(self.mesh, self.params)
+
         @functools.partial(jax.jit, static_argnames=())
         def encode(params, images):
             return clip_encode_image(
@@ -152,6 +189,7 @@ class ClipImageEncoder:
             images = np.concatenate(
                 [images, np.zeros((pad, *images.shape[1:]), images.dtype)]
             )
+        images = _shard_encoder_batch(self.mesh, images)
         out = np.asarray(self._encode(self.params, images),
                          dtype=np.float32)
         return out[:n]
@@ -184,6 +222,7 @@ class ClipTextEncoder:
         model_version: str = "openai/clip-vit-large-patch14-336",
         batch_size: int = 512,
         param_dtype: Any = None,
+        mesh: Optional[Any] = None,
     ):
         import functools
 
@@ -197,6 +236,7 @@ class ClipTextEncoder:
         )
 
         self.cfg = cfg or CLIPTextConfig()
+        self.mesh = _check_encoder_mesh(mesh, batch_size)
         self.batch_size = batch_size
         param_dtype = param_dtype or jnp.bfloat16
         self.tokenizer = self._try_load_tokenizer(model_version)
@@ -208,6 +248,10 @@ class ClipTextEncoder:
                 jax.random.PRNGKey(0), self.cfg, param_dtype
             )
         self.params = params
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate_params
+
+            self.params = replicate_params(self.mesh, self.params)
 
         @functools.partial(jax.jit)
         def encode(params, ids):
@@ -267,6 +311,7 @@ class ClipTextEncoder:
                 [input_ids,
                  np.zeros((pad, input_ids.shape[1]), input_ids.dtype)]
             )
+        input_ids = _shard_encoder_batch(self.mesh, input_ids)
         out = np.asarray(self._encode(self.params, input_ids),
                          dtype=np.float32)
         return out[:n]

@@ -104,6 +104,11 @@ def main() -> None:
         help="int8 bulk-extraction mode (~1.5x throughput; embedding "
              "cosine vs bf16 >= 0.9995, not bit-parity with fp16 CLIP)",
     )
+    parser.add_argument(
+        "--mesh_data", type=int, default=1,
+        help="shard each encode batch over N chips (-1 = all devices); "
+             "batch_size must divide N",
+    )
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -114,8 +119,13 @@ def main() -> None:
         {"image_url": r["image_url"], "caption": r["caption"]}
         for r in (ds if not args.limit else ds.select(range(args.limit)))
     ]
-    encoder = ClipImageEncoder(batch_size=args.batch_size,
-                               int8=args.int8) if args.int8 else None
+    encoder = None
+    if args.int8 or args.mesh_data not in (0, 1):
+        from ..parallel.mesh import make_data_mesh
+
+        encoder = ClipImageEncoder(batch_size=args.batch_size,
+                                   int8=args.int8,
+                                   mesh=make_data_mesh(args.mesh_data))
     extract_rows(rows, args.out, encoder=encoder,
                  batch_size=args.batch_size,
                  num_threads=args.num_threads)

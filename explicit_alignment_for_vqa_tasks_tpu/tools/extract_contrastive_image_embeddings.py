@@ -92,11 +92,18 @@ def main() -> None:
         help="int8 bulk-extraction mode (~1.5x throughput; embedding "
              "cosine vs bf16 >= 0.9995, not bit-parity with fp16 CLIP)",
     )
+    parser.add_argument(
+        "--mesh_data", type=int, default=1,
+        help="shard each encode batch over N chips (-1 = all devices); "
+             "batch_size must divide N",
+    )
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
+    from ..parallel.mesh import make_data_mesh
+
     encoder = ClipImageEncoder(
         model_version=args.model_version, batch_size=args.batch_size,
-        int8=args.int8,
+        int8=args.int8, mesh=make_data_mesh(args.mesh_data),
     )
     extract(args.question_file, args.image_dir, args.subtype, args.out,
             batch_size=args.batch_size, encoder=encoder)

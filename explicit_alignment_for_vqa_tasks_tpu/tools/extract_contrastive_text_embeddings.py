@@ -49,10 +49,18 @@ def main() -> None:
     parser.add_argument(
         "--model_version", default="openai/clip-vit-large-patch14-336"
     )
+    parser.add_argument(
+        "--mesh_data", type=int, default=1,
+        help="shard each encode batch over N chips (-1 = all devices); "
+             "batch_size must divide N",
+    )
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
+    from ..parallel.mesh import make_data_mesh
+
     encoder = ClipTextEncoder(
-        model_version=args.model_version, batch_size=args.batch_size
+        model_version=args.model_version, batch_size=args.batch_size,
+        mesh=make_data_mesh(args.mesh_data),
     )
     extract(args.question_file, args.out, args.batch_size, encoder)
 

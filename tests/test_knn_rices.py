@@ -245,3 +245,102 @@ class TestRICES:
         assert len(out) == 2 and len(out["2000"]) == 5
         qids = [e["question_id"] for e in out["2000"]]
         assert len(set(qids)) == 5  # without replacement
+
+
+class TestMultiChipKnn:
+    """Round-5 directive (VERDICT r4 #7): the L0 bulk tools scale past one
+    chip. On the virtual 8-device CPU mesh, the sharded kNN paths must
+    return the SAME NEIGHBOURS as the single-device results; similarities
+    may differ by matmul-tiling rounding (per-shard matmul shapes reduce
+    in a different order), so they are compared to 1e-6. The merge
+    preserves lowest-index tie-breaking on bit-equal scores."""
+
+    def _mesh(self, n=4):
+        from explicit_alignment_for_vqa_tasks_tpu.parallel.mesh import (
+            make_data_mesh,
+        )
+
+        return make_data_mesh(n)
+
+    def test_knn_search_mesh_equals_single_device(self):
+        rng = np.random.default_rng(3)
+        # N=203 deliberately NOT divisible by 4 (pads with masked rows)
+        db = rng.standard_normal((203, 32)).astype(np.float32)
+        q = rng.standard_normal((37, 32)).astype(np.float32)
+        sims1, idx1 = knn_search(q, db, k=7, query_chunk=16)
+        sims2, idx2 = knn_search(q, db, k=7, query_chunk=16,
+                                 mesh=self._mesh())
+        np.testing.assert_array_equal(idx1, idx2)
+        np.testing.assert_allclose(sims1, sims2, rtol=1e-6, atol=1e-6)
+
+    def test_knn_search_mesh_k_larger_than_shard(self):
+        # k=6 > rows_per_shard (16/8 = 2): local top-k clamps to the
+        # shard size and the merge still recovers the exact global top-k
+        rng = np.random.default_rng(4)
+        db = rng.standard_normal((16, 8)).astype(np.float32)
+        q = rng.standard_normal((5, 8)).astype(np.float32)
+        sims1, idx1 = knn_search(q, db, k=6)
+        sims2, idx2 = knn_search(q, db, k=6, mesh=self._mesh(8))
+        np.testing.assert_array_equal(idx1, idx2)
+        np.testing.assert_allclose(sims1, sims2, rtol=1e-6, atol=1e-6)
+
+    def test_knn_search_mesh_tie_breaking(self):
+        # duplicated rows across shard boundaries: ties must resolve to
+        # the LOWEST global index, like single-device lax.top_k / FAISS
+        rng = np.random.default_rng(5)
+        base = rng.standard_normal((6, 8)).astype(np.float32)
+        db = np.concatenate([base, base, base, base])  # 24 rows, 4 copies
+        q = base[:3]
+        sims1, idx1 = knn_search(q, db, k=8)
+        sims2, idx2 = knn_search(q, db, k=8, mesh=self._mesh())
+        np.testing.assert_array_equal(idx1, idx2)
+        np.testing.assert_allclose(sims1, sims2, rtol=1e-6, atol=1e-6)
+
+    def test_rices_pipeline_mesh_equals_single_device(self, tmp_path):
+        import pickle
+
+        from explicit_alignment_for_vqa_tasks_tpu.in_context_example_selection.rices import (  # noqa: E501
+            run_full_pipeline,
+        )
+
+        rng = np.random.default_rng(6)
+        train_items = make_items(24, 1000, 100)
+        val_items = make_items(6, 2000, 500)
+        d = 16
+
+        def dump(obj, name):
+            p = tmp_path / name
+            p.write_bytes(pickle.dumps(obj))
+            return str(p)
+
+        train_text = dump({
+            str(i["question_id"]):
+                rng.standard_normal((1, d)).astype(np.float32)
+            for i in train_items
+        }, "tt.pkl")
+        val_text = dump({
+            str(i["question_id"]):
+                rng.standard_normal((1, d)).astype(np.float32)
+            for i in val_items
+        }, "vt.pkl")
+        train_img = dump({
+            str(i["img_key"]):
+                rng.standard_normal((1, d)).astype(np.float32)
+            for i in train_items
+        }, "ti.pkl")
+        val_img = dump({
+            str(i["img_key"]):
+                rng.standard_normal((1, d)).astype(np.float32)
+            for i in val_items
+        }, "vi.pkl")
+
+        single = run_full_pipeline(
+            train_text, val_text, train_img, val_img,
+            train_items, val_items, str(tmp_path / "r1.pkl"), k_questions=8,
+        )
+        meshed = run_full_pipeline(
+            train_text, val_text, train_img, val_img,
+            train_items, val_items, str(tmp_path / "r2.pkl"), k_questions=8,
+            mesh=self._mesh(),
+        )
+        assert single == meshed

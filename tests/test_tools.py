@@ -284,3 +284,47 @@ class TestInt8DriftStudy:
         assert set(variants) == {
             "per_channel", "grouped", "grouped_smooth", "full_stack",
         }
+
+
+class TestMeshEncoders:
+    """--mesh_data sharded extraction == single-device (VERDICT r4 #7)."""
+
+    def test_image_encoder_mesh_equals_single(self, tiny_encoder):
+        from explicit_alignment_for_vqa_tasks_tpu.parallel.mesh import (
+            make_data_mesh,
+        )
+        from explicit_alignment_for_vqa_tasks_tpu.tools.clip_encoder import (
+            ClipImageEncoder,
+        )
+
+        meshed = ClipImageEncoder(
+            cfg=tiny_encoder.cfg, params=tiny_encoder.params, batch_size=4,
+            mesh=make_data_mesh(4),
+        )
+        rng = np.random.default_rng(9)
+        images = rng.standard_normal((7, 28, 28, 3)).astype(np.float32)
+        out_s = tiny_encoder.encode_batch(images[:4])
+        out_m = meshed.encode_batch(images[:4])
+        np.testing.assert_allclose(out_m, out_s, rtol=1e-6, atol=1e-6)
+        # partial batch (pads to 4, shards, trims)
+        np.testing.assert_allclose(
+            meshed.encode_batch(images[4:]),
+            tiny_encoder.encode_batch(images[4:]), rtol=1e-6, atol=1e-6,
+        )
+
+    def test_mesh_requires_divisible_batch(self):
+        import pytest as _pytest
+
+        from explicit_alignment_for_vqa_tasks_tpu.parallel.mesh import (
+            make_data_mesh,
+        )
+        from explicit_alignment_for_vqa_tasks_tpu.tools.clip_encoder import (
+            _check_encoder_mesh,
+        )
+
+        with _pytest.raises(ValueError, match="must divide"):
+            _check_encoder_mesh(make_data_mesh(4), batch_size=6)
+        # size-1 request -> no mesh
+        assert _check_encoder_mesh(None, 4) is None
+        assert make_data_mesh(1) is None
+        assert make_data_mesh(0) is None
