@@ -7,7 +7,8 @@
 #   test-slow  — @slow: real multi-process workers (~10 min)
 #   test       — everything (~25-30 min on 1 CPU)
 
-.PHONY: test test-fast test-heavy test-slow bench bench-generate native lint
+.PHONY: test test-fast test-heavy test-slow bench bench-generate native \
+	lint replicate-dryrun
 
 test:
 	python -m pytest tests/ -x -q
@@ -30,3 +31,10 @@ bench-generate:
 native:
 	python -c "from explicit_alignment_for_vqa_tasks_tpu.native import \
 native_available; assert native_available(); print('native VQA eval OK')"
+
+# Full dress rehearsal of the real-weights replication run on committed
+# tiny fixtures: every published-table mode, int8-vs-bf16 twin, drift
+# study, artifact checklist (tools/replicate_dryrun.py). ~10 min on CPU.
+replicate-dryrun:
+	python -m explicit_alignment_for_vqa_tasks_tpu.tools.replicate_dryrun \
+		--workdir /tmp/eavt_replicate_dryrun

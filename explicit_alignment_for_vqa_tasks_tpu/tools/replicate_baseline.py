@@ -44,6 +44,16 @@ and compare the resulting table against the bf16 run's. Adding
 "tpu.int8_calibrate_batches=8" additionally calibrates SmoothQuant
 folding on the first eval batches (the drift-reduction lever measured
 in tools/int8_drift_study.py) before quantizing.
+
+Day-1 int8 validation is zero-decision: whenever tpu.int8_* opts are
+present, the trained-weight drift study (int8_drift_study --weights
+<t0-weights>) runs automatically in a child process before the sweep and
+its table lands in the report under "int8_drift_study"
+(--skip-int8-drift opts out). Every input path is checked up front with
+a loud missing-artifact checklist. ``make replicate-dryrun``
+(tools/replicate_dryrun.py) rehearses ALL of this — every published
+mode, the int8 twin, the drift study, the checklist — on committed tiny
+fixtures, so the real run is copy-paste with paths swapped.
 """
 
 from __future__ import annotations
@@ -282,6 +292,70 @@ def _run_point(config) -> Dict[str, Any]:
     }
 
 
+def check_artifacts(args: Any) -> List[str]:
+    """Loud missing-artifact checklist: verify every input path BEFORE
+    any model/data work, so a half-mounted artifact set fails with the
+    full shopping list instead of a deep loader traceback. Returns the
+    missing descriptions (and logs the checklist)."""
+    required = [
+        ("--t0-weights (HF dir with config.json)", args.t0_weights,
+         lambda p: os.path.isfile(os.path.join(p, "config.json"))),
+        ("--questions-train", args.questions_train, os.path.isfile),
+        ("--annotations-train", args.annotations_train, os.path.isfile),
+        ("--questions-val", args.questions_val, os.path.isfile),
+        ("--annotations-val", args.annotations_val, os.path.isfile),
+        ("--clip-embeddings-train", args.clip_embeddings_train,
+         os.path.isfile),
+        ("--clip-embeddings-val", args.clip_embeddings_val, os.path.isfile),
+        ("--rices", args.rices, os.path.isfile),
+    ]
+    if args.mapper_ckpt:
+        required.append(("--mapper-ckpt", args.mapper_ckpt, os.path.exists))
+    if "random" in args.modes:
+        required.append(("--random-examples (random.pkl)",
+                         args.random_examples, os.path.isfile))
+    if "text_rices" in args.modes:
+        required.append(("--text-rices (rices_questions_only.pkl)",
+                         args.text_rices, os.path.isfile))
+    missing = []
+    for name, path, ok in required:
+        present = bool(path) and ok(path)
+        logger.info("artifact %-45s %s  %s", name,
+                    "OK     " if present else "MISSING", path or "(unset)")
+        if not present:
+            missing.append(f"{name}: {path or '(unset)'}")
+    return missing
+
+
+def _run_int8_drift_study(args: Any) -> Optional[Dict[str, Any]]:
+    """tools/int8_drift_study.py --weights <t0_weights> in a CHILD process
+    BEFORE this process initializes the TPU backend (two processes must
+    never drive the chip at once; the child exits before our first jax
+    use). Returns its JSON summary, or None on failure (logged)."""
+    import subprocess
+    import sys
+
+    cmd = [
+        sys.executable, "-m",
+        "explicit_alignment_for_vqa_tasks_tpu.tools.int8_drift_study",
+        "--weights", args.t0_weights,
+    ]
+    logger.info("running trained-weight int8 drift study: %s",
+                " ".join(cmd))
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=3600)
+        for line in reversed(proc.stdout.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        logger.warning("int8 drift study produced no JSON (rc=%d): %s",
+                       proc.returncode, proc.stderr[-500:])
+    except Exception as exc:
+        logger.warning("int8 drift study failed: %s", exc)
+    return None
+
+
 def run_sweep(args: Any) -> Dict[str, Any]:
     if args.compare_bf16 and \
             _strip_int8_opts(list(args.opts or [])) == list(args.opts or []):
@@ -290,6 +364,20 @@ def run_sweep(args: Any) -> Dict[str, Any]:
             "pass at least one tpu.int8_* override via --opts (e.g. "
             "--opts tpu.int8_encoder_ffn=1 tpu.int8_calibrate_batches=4)"
         )
+    missing = check_artifacts(args)
+    if missing:
+        raise FileNotFoundError(
+            "replication artifacts missing — mount these and re-run:\n  "
+            + "\n  ".join(missing)
+        )
+    # int8 throughput opts present -> the trained-weight drift study is
+    # part of the day-1 validation by default (VERDICT r4 #6); it runs
+    # first, in a child process, so the chip is never driven twice
+    int8_drift = None
+    has_int8_opts = _strip_int8_opts(list(args.opts or [])) != \
+        list(args.opts or [])
+    if has_int8_opts and not args.skip_int8_drift:
+        int8_drift = _run_int8_drift_study(args)
     os.makedirs(args.workdir, exist_ok=True)
     lm_config = _lm_config_from_hf_dir(args.t0_weights)
     mapper_path = _resolve_mapper_ckpt(
@@ -387,6 +475,10 @@ def run_sweep(args: Any) -> Dict[str, Any]:
             for r in rows
         ),
     }
+    if int8_drift is not None:
+        report["int8_drift_study"] = int8_drift
+    elif has_int8_opts and args.skip_int8_drift:
+        report["int8_drift_study"] = "skipped (--skip-int8-drift)"
     return report
 
 
@@ -468,6 +560,12 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         "one-command day-1 int8 validation)")
     parser.add_argument("--strict", action="store_true",
                         help="exit 1 if any sweep point FAILs")
+    parser.add_argument("--skip-int8-drift", action="store_true",
+                        help="when tpu.int8_* --opts are present, the "
+                        "trained-weight int8 drift study "
+                        "(tools/int8_drift_study.py --weights) runs by "
+                        "default before the sweep and lands in the "
+                        "report; this skips it")
     parser.add_argument("--opts", nargs="*", default=[],
                         help="extra dotted config overrides")
     args = parser.parse_args(argv)
