@@ -74,6 +74,20 @@ class T5Config:
     # at rest, unlocking larger decode batches (the capacity lever,
     # VERDICT r2 #2).
     int8_cross_kv: bool = False
+    # Storage layout for the int8 cross-KV caches (int8_cross_kv):
+    #   False  — (layers, B, Lenc, H, kv): the decode step's einsums read
+    #            it directly (no per-step relayout) but an s8 kv=64 minor
+    #            dim pads to 128 lanes = 2.0x HBM at rest. The FAST
+    #            layout — measured 50.75 prompts/s at B=64 vs 32.7 merged
+    #            (the merged layout's per-layer (B,L,H*kv)->(B,L,H,kv)
+    #            "bitcast" is a real RETILE on TPU, ~30 ms/step of copies).
+    #   True   — (layers, B, Lenc, H*kv): exact 2048-lane int8 tiling,
+    #            half the at-rest HBM of the padded layout — the CAPACITY
+    #            layout that lets B>=96 compile (unmerged B=96 padded
+    #            caches -> ~12.6 GB of remat temps, compile-OOM).
+    #   None   — auto: merged iff the decode batch >= 96 (shapes are
+    #            static at trace time, so this is jit-safe).
+    int8_kv_merged: bool | None = None
     # fused Pallas encoder FFN (ops/fused_attention_block.py::fused_t5_ffn):
     # RMS-norm + gated-gelu FFN + residual in one program with all three
     # weight matrices resident in VMEM (~63 MB bf16 at T0-3B widths —
@@ -879,14 +893,15 @@ def init_decode_cache(
         # (B, L, H, kv) tensors are scan temporaries, never a full
         # (layers, ...) array.
         #
-        # STORAGE LAYOUT: the caches are stored with (H, kv) MERGED into
-        # one 2048-lane minor dim. An s8 (..., H, kv=64) array tiles at
-        # T(8,128)(4,1) with its 64-wide minor dim padded to 128 lanes —
-        # 2.0x HBM expansion — and at B=96 XLA's remat pass additionally
-        # held compressed+uncompressed copies of both padded caches
-        # (~12.6 GB of temps, compile-OOM). Merged (..., H*kv) rows tile
-        # exactly; the decode step re-views them per layer (a bitcast —
-        # same row-major linear order, no copy).
+        # STORAGE LAYOUT (cfg.int8_kv_merged; see the config comment for
+        # the measured speed-vs-capacity trade): unmerged (B, L, H, kv)
+        # feeds the decode einsums directly; merged (B, L, H*kv) tiles
+        # int8 exactly (no 64->128 lane padding) and is what lets B>=96
+        # compile. t5_decode_step infers the layout from the cache ndim.
+        merged = cfg.int8_kv_merged
+        if merged is None:
+            merged = batch >= 96
+
         def cross_kv_q8(carry, layer_p):
             k = _project(encoder_hidden, layer_p["k"], h)
             v = _project(encoder_hidden, layer_p["v"], h)
@@ -897,7 +912,10 @@ def init_decode_cache(
                 scale = jnp.maximum(scale, 1e-8)
                 q = jnp.clip(jnp.round(x32 / scale), -127, 127)
                 q = q.astype(jnp.int8)
-                # (B, L, H, kv) -> (B, L, H*kv); (B, 1, H, kv) -> (B, 1, H*kv)
+                if not merged:
+                    return q, scale
+                # (B, L, H, kv) -> (B, L, H*kv); scale (B, 1, H, kv) ->
+                # (B, 1, H*kv)
                 return (q.reshape(q.shape[0], q.shape[1], h * kv),
                         scale.reshape(scale.shape[0], 1, h * kv))
 
@@ -1058,12 +1076,20 @@ def t5_decode_step(
             # tile bytes and OOMs at B=64)
             bsz = cq.shape[0]
             h_, kv_ = cfg.num_heads, cfg.d_kv
-            # stored merged (B, L, H*kv) for exact int8 lane tiling (see
-            # init_decode_cache) — re-view per head here; bitcast, no copy
-            k8 = cross_c["k8"].reshape(bsz, -1, h_, kv_)
-            v8 = cross_c["v8"].reshape(bsz, -1, h_, kv_)
-            ks = cross_c["ks"].reshape(bsz, 1, h_, kv_)
-            vs = cross_c["vs"].reshape(bsz, 1, h_, kv_)
+            if cross_c["k8"].ndim == 3:
+                # merged (B, L, H*kv) capacity layout (init_decode_cache):
+                # exact int8 lane tiling at rest, but this per-layer
+                # re-view is a RETILE on TPU (~30 ms/step at B=64) — only
+                # worth it where the unmerged layout can't compile (B>=96)
+                k8 = cross_c["k8"].reshape(bsz, -1, h_, kv_)
+                v8 = cross_c["v8"].reshape(bsz, -1, h_, kv_)
+                ks = cross_c["ks"].reshape(bsz, 1, h_, kv_)
+                vs = cross_c["vs"].reshape(bsz, 1, h_, kv_)
+            else:
+                # unmerged (B, L, H, kv): feeds the dots directly — the
+                # FAST layout (50.75 vs 32.7 prompts/s at B=64)
+                k8, v8 = cross_c["k8"], cross_c["v8"]
+                ks, vs = cross_c["ks"], cross_c["vs"]
             q_scaled = cq.astype(jnp.float32) * ks.astype(jnp.float32)
             logits = jnp.einsum(
                 "bqhd,bkhd->bhqk", q_scaled.astype(y.dtype),

@@ -130,6 +130,14 @@ def build_model_from_config(config: Any) -> Tuple[Any, Any]:
             "int8_cross_kv",
             bool(config.get("tpu", {}).get("int8_cross_kv", False)),
         )
+        # tpu.int8_kv_merged: cross-KV cache storage layout override
+        # (true = capacity layout for B>=96, false = fast layout; unset =
+        # auto by decode batch — see models/t5.py T5Config)
+        if "int8_kv_merged" in config.get("tpu", {}):
+            overrides.setdefault(
+                "int8_kv_merged",
+                bool(config["tpu"]["int8_kv_merged"]),
+            )
         overrides.setdefault(
             "int8_encoder_ffn",
             bool(config.get("tpu", {}).get("int8_encoder_ffn", False)),

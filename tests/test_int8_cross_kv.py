@@ -45,16 +45,38 @@ def setup():
 class TestInt8CrossKV:
     def test_cache_layout_and_bytes(self, setup):
         cfg, params, hidden, _ = setup
+        nl, B, L, H, kv = 3, 4, 12, 8, 8
+        # default (int8_kv_merged=None -> auto): small batches stay in
+        # the UNMERGED (B, L, H, kv) layout — the fast one (the merged
+        # layout's per-layer re-view is a retile, measured 32.7 vs 50.75
+        # prompts/s at B=64 on v5e)
         q8_cfg = dataclasses.replace(cfg, int8_cross_kv=True)
         cache = init_decode_cache(params, q8_cfg, hidden, 6)
         assert cache["cross_k"].dtype == jnp.int8
         assert cache["cross_v"].dtype == jnp.int8
-        nl, B, L, H, kv = 3, 4, 12, 8, 8
-        # stored with (H, kv) merged into one minor dim: an s8 minor dim
-        # of kv=64 tiles at half-lane occupancy on TPU (2x HBM padding);
-        # merged H*kv rows tile exactly (see init_decode_cache)
-        assert cache["cross_k"].shape == (nl, B, L, H * kv)
-        assert cache["cross_k_scale"].shape == (nl, B, 1, H * kv)
+        assert cache["cross_k"].shape == (nl, B, L, H, kv)
+        assert cache["cross_k_scale"].shape == (nl, B, 1, H, kv)
+        # explicit merged (the B>=96 capacity layout): (H, kv) folded
+        # into one exactly-tiling minor dim
+        m_cfg = dataclasses.replace(cfg, int8_cross_kv=True,
+                                    int8_kv_merged=True)
+        m_cache = init_decode_cache(params, m_cfg, hidden, 6)
+        assert m_cache["cross_k"].shape == (nl, B, L, H * kv)
+        assert m_cache["cross_k_scale"].shape == (nl, B, 1, H * kv)
+
+    def test_merged_and_unmerged_layouts_decode_identically(self, setup):
+        """Same quantization, different storage: every decode-step logit
+        must be BIT-equal across layouts (the reshape is value-neutral)."""
+        cfg, params, hidden, mask = setup
+        token = jnp.zeros((hidden.shape[0],), dtype=jnp.int32)
+        outs = []
+        for merged in (False, True):
+            q8_cfg = dataclasses.replace(cfg, int8_cross_kv=True,
+                                         int8_kv_merged=merged)
+            cache = init_decode_cache(params, q8_cfg, hidden, 6)
+            logits, _ = t5_decode_step(params, q8_cfg, token, cache, mask)
+            outs.append(np.asarray(logits))
+        np.testing.assert_array_equal(outs[0], outs[1])
 
     def test_dequant_error_within_per_channel_bound(self, setup):
         cfg, params, hidden, _ = setup
