@@ -159,10 +159,68 @@ def _bench_vit_l_subprocess() -> dict:
     )
 
 
+DECODE_POINTS = [
+    # (name, bench_generate.py argv) — the flagship decode north-star's
+    # canonical points (BASELINE.json names "VQA2 questions/sec decode";
+    # PARITY.md r3-r4 ledgers). Same amortized methodology: the child
+    # times whole generate calls, fetch-synced, best of --trials.
+    ("bf16_b32_full_budget", ["--batch", "32"]),
+    ("int8_b64_full_budget",
+     ["--batch", "64", "--int8_cross_kv", "--int8_ffn", "--int8_attn",
+      "--int8_decoder"]),
+    ("int8_b64_realistic_answers",
+     ["--batch", "64", "--int8_cross_kv", "--int8_ffn", "--int8_attn",
+      "--int8_decoder", "--eos_at_steps", "2,3,4,5"]),
+    # the capacity point: B=96 only fits with the transposed int8
+    # cross-KV layout (auto picks it at B>=96) — 75.9 prompts/s r5
+    ("int8_b96_capacity",
+     ["--batch", "96", "--int8_cross_kv", "--int8_ffn", "--int8_attn",
+      "--int8_decoder"]),
+]
+
+
+def _bench_decode_subprocess() -> dict:
+    """Run the flagship few-shot decode points (bench_generate.py) as
+    child processes — each owns the chip alone and sets its own
+    scoped-VMEM flag — and fold their JSON lines into one dict. Runs
+    BEFORE this process initializes its backend."""
+    import os
+    import subprocess
+
+    out = {}
+    for name, extra in DECODE_POINTS:
+        cmd = [sys.executable,
+               os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_generate.py")] + extra
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=2700)
+            line = next(
+                (ln for ln in reversed(proc.stdout.splitlines())
+                 if ln.strip().startswith("{")), None,
+            )
+            if line is None:
+                raise RuntimeError(
+                    f"no JSON (rc={proc.returncode}): {proc.stderr[-300:]}"
+                )
+            point = json.loads(line)
+            out[name] = {"value": point["value"], "unit": point["unit"],
+                         "config": point["config"]}
+            print(f"decode {name}: {point['value']} prompts/s",
+                  file=sys.stderr)
+        except Exception as exc:  # pragma: no cover
+            print(f"decode point {name} skipped: {exc}", file=sys.stderr)
+            out[name] = {"error": str(exc)[:300]}
+    return out
+
+
 def main() -> None:
-    # ViT-L first, in its own process (see _run_vit_l_child): the chip
-    # must never be driven by two processes at once, so the parent only
-    # initializes its backend after the child exits.
+    # Decode north-star first, then ViT-L, each in its own process: the
+    # chip must never be driven by two processes at once, so the parent
+    # only initializes its backend after every child exits.
+    decode = None
+    if "--skip-decode" not in sys.argv:
+        decode = _bench_decode_subprocess()
     secondary = None
     try:
         secondary = _bench_vit_l_subprocess()
@@ -230,6 +288,15 @@ def main() -> None:
             out["secondary"]["int8_opt_in_value"] = (
                 secondary["int8_images_per_s"]
             )
+    if decode is not None:
+        # the flagship decode north-star (VERDICT r4 #1): VQA2 few-shot
+        # generate prompts/s at the canonical points, driver-visible
+        # round-over-round
+        out["decode"] = {
+            "metric": "vct0_3b_fewshot_generate_prompts_per_sec_per_chip",
+            "unit": "prompts/s",
+            "points": decode,
+        }
     if int8_result is not None:
         out["int8_opt_in"] = {
             "metric": "clip_vit_b32_int8_image_encodings_per_sec_per_chip",

@@ -31,11 +31,12 @@ def main() -> None:
                         help="int8 encoder FFN on the MXU (opt-in bulk-"
                         "eval mode, 1.27x the encoder; raises the "
                         "scoped-VMEM limit)")
-    parser.add_argument("--int8_kv_merged", type=str, default="auto",
-                        choices=["auto", "true", "false"],
-                        help="cross-KV storage layout: auto (merged iff "
-                        "B>=96), true = merged capacity layout, false = "
-                        "unmerged fast layout (see T5Config.int8_kv_merged)")
+    parser.add_argument("--int8_kv_layout", type=str, default="auto",
+                        choices=["auto", "unmerged", "merged",
+                                 "transposed"],
+                        help="cross-KV storage layout (auto = transposed "
+                        "iff B>=96 else unmerged; see "
+                        "T5Config.int8_kv_layout)")
     parser.add_argument("--int8_groups", type=int, default=0,
                         help="contraction groups for the int8 encoder "
                              "quantizers: 0 = auto (the grouped default, "
@@ -117,9 +118,9 @@ def main() -> None:
                             fused_encoder_attention=True,
                             fused_encoder_ffn=args.fused_ffn,
                             int8_cross_kv=args.int8_cross_kv,
-                            int8_kv_merged=(
-                                None if args.int8_kv_merged == "auto"
-                                else args.int8_kv_merged == "true"),
+                            int8_kv_layout=(
+                                None if args.int8_kv_layout == "auto"
+                                else args.int8_kv_layout),
                             int8_encoder_ffn=args.int8_ffn,
                             int8_encoder_attn=args.int8_attn,
                             int8_decoder_step=args.int8_decoder)
@@ -242,7 +243,7 @@ def main() -> None:
             "eos_at_steps": args.eos_at_steps or None,
             "mean_forced_answer_len": mean_forced_len,
             "int8_cross_kv": bool(args.int8_cross_kv),
-            "int8_kv_merged": args.int8_kv_merged,
+            "int8_kv_layout": args.int8_kv_layout,
             "int8_encoder_ffn": bool(args.int8_ffn),
             "int8_encoder_attn": bool(args.int8_attn),
             "int8_decoder_step": bool(args.int8_decoder),

@@ -74,20 +74,28 @@ class T5Config:
     # at rest, unlocking larger decode batches (the capacity lever,
     # VERDICT r2 #2).
     int8_cross_kv: bool = False
-    # Storage layout for the int8 cross-KV caches (int8_cross_kv):
-    #   False  — (layers, B, Lenc, H, kv): the decode step's einsums read
-    #            it directly (no per-step relayout) but an s8 kv=64 minor
-    #            dim pads to 128 lanes = 2.0x HBM at rest. The FAST
-    #            layout — measured 50.75 prompts/s at B=64 vs 32.7 merged
-    #            (the merged layout's per-layer (B,L,H*kv)->(B,L,H,kv)
-    #            "bitcast" is a real RETILE on TPU, ~30 ms/step of copies).
-    #   True   — (layers, B, Lenc, H*kv): exact 2048-lane int8 tiling,
-    #            half the at-rest HBM of the padded layout — the CAPACITY
-    #            layout that lets B>=96 compile (unmerged B=96 padded
-    #            caches -> ~12.6 GB of remat temps, compile-OOM).
-    #   None   — auto: merged iff the decode batch >= 96 (shapes are
-    #            static at trace time, so this is jit-safe).
-    int8_kv_merged: bool | None = None
+    # Storage layout for the int8 cross-KV caches (int8_cross_kv); all
+    # three are value-neutral (bit-equal logits, pinned in
+    # tests/test_int8_cross_kv.py):
+    #   "unmerged"   — (layers, B, Lenc, H, kv): feeds the decode
+    #                  einsums directly (no per-step relayout) but an s8
+    #                  kv=64 minor dim pads to 128 lanes = 2.0x HBM both
+    #                  at rest and per-step read. 50.75 prompts/s at
+    #                  B=64 cross-KV-only (v5e).
+    #   "merged"     — (layers, B, Lenc, H*kv): exact 2048-lane int8
+    #                  tiling at rest, but the decode step's per-layer
+    #                  re-view to (B, L, H, kv) is a real RETILE on TPU
+    #                  (~30 ms/step of copies): 32.7 prompts/s at B=64.
+    #   "transposed" — (layers, B, H, kv, Lenc): Lenc minor tiles int8
+    #                  within ~3% (557->576), so it has the merged
+    #                  layout's capacity AND no per-step retile — scores
+    #                  contract over kv with Lenc as the output minor,
+    #                  PV contracts over Lenc directly.
+    #   None         — auto: "transposed" iff the decode batch >= 96
+    #                  (where the padded unmerged layout's ~2x caches
+    #                  compile-OOM), else "unmerged" (shapes are static
+    #                  at trace time, so this is jit-safe).
+    int8_kv_layout: str | None = None
     # fused Pallas encoder FFN (ops/fused_attention_block.py::fused_t5_ffn):
     # RMS-norm + gated-gelu FFN + residual in one program with all three
     # weight matrices resident in VMEM (~63 MB bf16 at T0-3B widths —
@@ -877,6 +885,22 @@ def t5_decode(
 # Incremental decoding with KV cache
 # ---------------------------------------------------------------------------
 
+def _resolve_kv_layout(cfg: T5Config, batch: int) -> str:
+    """Resolve the int8 cross-KV storage layout (see T5Config.int8_kv_layout).
+
+    Called with the DECODE batch (beam search expands to B*K before the
+    cache is built, so init and step always agree). Batch is static at
+    trace time — jit-safe."""
+    if cfg.int8_kv_layout is not None:
+        if cfg.int8_kv_layout not in ("unmerged", "merged", "transposed"):
+            raise ValueError(
+                f"int8_kv_layout must be unmerged|merged|transposed|None, "
+                f"got {cfg.int8_kv_layout!r}"
+            )
+        return cfg.int8_kv_layout
+    return "transposed" if batch >= 96 else "unmerged"
+
+
 def init_decode_cache(
     params: Params, cfg: T5Config, encoder_hidden: jax.Array, max_len: int
 ) -> Params:
@@ -893,14 +917,14 @@ def init_decode_cache(
         # (B, L, H, kv) tensors are scan temporaries, never a full
         # (layers, ...) array.
         #
-        # STORAGE LAYOUT (cfg.int8_kv_merged; see the config comment for
-        # the measured speed-vs-capacity trade): unmerged (B, L, H, kv)
-        # feeds the decode einsums directly; merged (B, L, H*kv) tiles
-        # int8 exactly (no 64->128 lane padding) and is what lets B>=96
-        # compile. t5_decode_step infers the layout from the cache ndim.
-        merged = cfg.int8_kv_merged
-        if merged is None:
-            merged = batch >= 96
+        # STORAGE LAYOUT (cfg.int8_kv_layout; see the config comment for
+        # the measured speed-vs-capacity trades): unmerged (B, L, H, kv)
+        # feeds the decode einsums directly but pads kv=64 to 128 lanes;
+        # merged (B, L, H*kv) tiles exactly but retiles per step;
+        # transposed (B, H, kv, L) tiles within ~3% AND feeds the dots
+        # directly. t5_decode_step resolves the same layout from
+        # (cfg, batch).
+        layout = _resolve_kv_layout(cfg, batch)
 
         def cross_kv_q8(carry, layer_p):
             k = _project(encoder_hidden, layer_p["k"], h)
@@ -912,12 +936,17 @@ def init_decode_cache(
                 scale = jnp.maximum(scale, 1e-8)
                 q = jnp.clip(jnp.round(x32 / scale), -127, 127)
                 q = q.astype(jnp.int8)
-                if not merged:
-                    return q, scale
-                # (B, L, H, kv) -> (B, L, H*kv); scale (B, 1, H, kv) ->
-                # (B, 1, H*kv)
-                return (q.reshape(q.shape[0], q.shape[1], h * kv),
-                        scale.reshape(scale.shape[0], 1, h * kv))
+                if layout == "merged":
+                    # (B, L, H, kv) -> (B, L, H*kv); scale (B, 1, H, kv)
+                    # -> (B, 1, H*kv)
+                    return (q.reshape(q.shape[0], q.shape[1], h * kv),
+                            scale.reshape(scale.shape[0], 1, h * kv))
+                if layout == "transposed":
+                    # (B, L, H, kv) -> (B, H, kv, L); the (B, 1, H, kv)
+                    # scales stay put (tiny, and the step consumes them
+                    # in that shape for both non-merged layouts)
+                    return jnp.transpose(q, (0, 2, 3, 1)), scale
+                return q, scale
 
             k8, ks = quant(k)
             v8, vs = quant(v)
@@ -1076,32 +1105,55 @@ def t5_decode_step(
             # tile bytes and OOMs at B=64)
             bsz = cq.shape[0]
             h_, kv_ = cfg.num_heads, cfg.d_kv
-            if cross_c["k8"].ndim == 3:
-                # merged (B, L, H*kv) capacity layout (init_decode_cache):
-                # exact int8 lane tiling at rest, but this per-layer
-                # re-view is a RETILE on TPU (~30 ms/step at B=64) — only
-                # worth it where the unmerged layout can't compile (B>=96)
-                k8 = cross_c["k8"].reshape(bsz, -1, h_, kv_)
-                v8 = cross_c["v8"].reshape(bsz, -1, h_, kv_)
-                ks = cross_c["ks"].reshape(bsz, 1, h_, kv_)
-                vs = cross_c["vs"].reshape(bsz, 1, h_, kv_)
-            else:
-                # unmerged (B, L, H, kv): feeds the dots directly — the
-                # FAST layout (50.75 vs 32.7 prompts/s at B=64)
-                k8, v8 = cross_c["k8"], cross_c["v8"]
+            kv_layout = _resolve_kv_layout(cfg, bsz)
+            if kv_layout == "transposed":
+                # (B, H, kv, L): the layout that tiles int8 within ~3%
+                # (L minor) AND needs no per-step relayout — scores
+                # contract over kv with L as the output minor, PV
+                # contracts over L directly
+                k8t, v8t = cross_c["k8"], cross_c["v8"]
                 ks, vs = cross_c["ks"], cross_c["vs"]
-            q_scaled = cq.astype(jnp.float32) * ks.astype(jnp.float32)
-            logits = jnp.einsum(
-                "bqhd,bkhd->bhqk", q_scaled.astype(y.dtype),
-                k8.astype(y.dtype),
-                preferred_element_type=jnp.float32,
-            ) + cross_bias
-            weights = jax.nn.softmax(logits, axis=-1).astype(y.dtype)
-            cattn = (jnp.einsum(
-                "bhqk,bkhd->bqhd", weights,
-                v8.astype(y.dtype),
-                preferred_element_type=jnp.float32,
-            ) * vs.astype(jnp.float32)).astype(y.dtype)
+                q_scaled = cq.astype(jnp.float32) * ks.astype(jnp.float32)
+                logits = jnp.einsum(
+                    "bqhd,bhdk->bhqk", q_scaled.astype(y.dtype),
+                    k8t.astype(y.dtype),
+                    preferred_element_type=jnp.float32,
+                ) + cross_bias
+                weights = jax.nn.softmax(logits, axis=-1).astype(y.dtype)
+                cattn = (jnp.einsum(
+                    "bhqk,bhdk->bqhd", weights,
+                    v8t.astype(y.dtype),
+                    preferred_element_type=jnp.float32,
+                ) * vs.astype(jnp.float32)).astype(y.dtype)
+            else:
+                if kv_layout == "merged":
+                    # merged (B, L, H*kv) capacity layout
+                    # (init_decode_cache): exact int8 lane tiling at
+                    # rest, but this per-layer re-view is a RETILE on
+                    # TPU (~30 ms/step at B=64) — superseded by
+                    # "transposed" for capacity; kept for A/Bs
+                    k8 = cross_c["k8"].reshape(bsz, -1, h_, kv_)
+                    v8 = cross_c["v8"].reshape(bsz, -1, h_, kv_)
+                    ks = cross_c["ks"].reshape(bsz, 1, h_, kv_)
+                    vs = cross_c["vs"].reshape(bsz, 1, h_, kv_)
+                else:
+                    # unmerged (B, L, H, kv): feeds the dots directly —
+                    # fast (50.75 vs 32.7 prompts/s at B=64) but pads
+                    # kv=64 to 128 lanes (2x cache bytes)
+                    k8, v8 = cross_c["k8"], cross_c["v8"]
+                    ks, vs = cross_c["ks"], cross_c["vs"]
+                q_scaled = cq.astype(jnp.float32) * ks.astype(jnp.float32)
+                logits = jnp.einsum(
+                    "bqhd,bkhd->bhqk", q_scaled.astype(y.dtype),
+                    k8.astype(y.dtype),
+                    preferred_element_type=jnp.float32,
+                ) + cross_bias
+                weights = jax.nn.softmax(logits, axis=-1).astype(y.dtype)
+                cattn = (jnp.einsum(
+                    "bhqk,bkhd->bqhd", weights,
+                    v8.astype(y.dtype),
+                    preferred_element_type=jnp.float32,
+                ) * vs.astype(jnp.float32)).astype(y.dtype)
             cattn = cattn.reshape(cattn.shape[0], cattn.shape[1], -1)
         else:
             cattn = _attention(cq, ck, cv, cross_bias, y.dtype)

@@ -108,6 +108,11 @@ def main() -> None:
     parser.add_argument("--int8_decoder", action="store_true",
                         help="weight-only int8 decode-step matmuls "
                         "(cfg.int8_decoder_step)")
+    parser.add_argument("--int8_kv_layout", default="auto",
+                        choices=["auto", "unmerged", "merged",
+                                 "transposed"],
+                        help="cross-KV storage layout A/B "
+                        "(T5Config.int8_kv_layout)")
     args = parser.parse_args()
 
     import jax
@@ -120,6 +125,8 @@ def main() -> None:
     enable_compilation_cache()
     cfg = T5Config.t0_3b(dtype=jnp.bfloat16,
                          int8_cross_kv=args.int8_cross_kv,
+                         int8_kv_layout=(None if args.int8_kv_layout ==
+                                         "auto" else args.int8_kv_layout),
                          int8_decoder_step=args.int8_decoder)
     params = init_t5_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     if args.int8_decoder:
@@ -161,6 +168,7 @@ def main() -> None:
         "trace": stats,
         "per_step_us": per_step,
         "config": {"int8_cross_kv": bool(args.int8_cross_kv),
+                   "int8_kv_layout": args.int8_kv_layout,
                    "batch": args.batch, "enc_len": args.enc_len,
                    "steps": args.steps},
         "trace_dir": trace_dir,

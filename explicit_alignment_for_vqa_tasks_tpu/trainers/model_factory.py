@@ -130,13 +130,13 @@ def build_model_from_config(config: Any) -> Tuple[Any, Any]:
             "int8_cross_kv",
             bool(config.get("tpu", {}).get("int8_cross_kv", False)),
         )
-        # tpu.int8_kv_merged: cross-KV cache storage layout override
-        # (true = capacity layout for B>=96, false = fast layout; unset =
-        # auto by decode batch — see models/t5.py T5Config)
-        if "int8_kv_merged" in config.get("tpu", {}):
+        # tpu.int8_kv_layout: cross-KV cache storage layout override
+        # (unmerged | merged | transposed; unset = auto by decode batch
+        # — see models/t5.py T5Config.int8_kv_layout)
+        if "int8_kv_layout" in config.get("tpu", {}):
             overrides.setdefault(
-                "int8_kv_merged",
-                bool(config["tpu"]["int8_kv_merged"]),
+                "int8_kv_layout",
+                str(config["tpu"]["int8_kv_layout"]),
             )
         overrides.setdefault(
             "int8_encoder_ffn",

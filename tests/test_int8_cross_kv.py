@@ -46,7 +46,7 @@ class TestInt8CrossKV:
     def test_cache_layout_and_bytes(self, setup):
         cfg, params, hidden, _ = setup
         nl, B, L, H, kv = 3, 4, 12, 8, 8
-        # default (int8_kv_merged=None -> auto): small batches stay in
+        # default (int8_kv_layout=None -> auto): small batches stay in
         # the UNMERGED (B, L, H, kv) layout — the fast one (the merged
         # layout's per-layer re-view is a retile, measured 32.7 vs 50.75
         # prompts/s at B=64 on v5e)
@@ -56,27 +56,44 @@ class TestInt8CrossKV:
         assert cache["cross_v"].dtype == jnp.int8
         assert cache["cross_k"].shape == (nl, B, L, H, kv)
         assert cache["cross_k_scale"].shape == (nl, B, 1, H, kv)
-        # explicit merged (the B>=96 capacity layout): (H, kv) folded
-        # into one exactly-tiling minor dim
+        # explicit merged: (H, kv) folded into one exactly-tiling minor
+        # dim (retiles per step; superseded by transposed, kept for A/B)
         m_cfg = dataclasses.replace(cfg, int8_cross_kv=True,
-                                    int8_kv_merged=True)
+                                    int8_kv_layout="merged")
         m_cache = init_decode_cache(params, m_cfg, hidden, 6)
         assert m_cache["cross_k"].shape == (nl, B, L, H * kv)
         assert m_cache["cross_k_scale"].shape == (nl, B, 1, H * kv)
+        # transposed (the B>=96 capacity layout): L minor, scales stay
+        # in the unmerged shape
+        t_cfg = dataclasses.replace(cfg, int8_cross_kv=True,
+                                    int8_kv_layout="transposed")
+        t_cache = init_decode_cache(params, t_cfg, hidden, 6)
+        assert t_cache["cross_k"].shape == (nl, B, H, kv, L)
+        assert t_cache["cross_k_scale"].shape == (nl, B, 1, H, kv)
 
-    def test_merged_and_unmerged_layouts_decode_identically(self, setup):
-        """Same quantization, different storage: every decode-step logit
-        must be BIT-equal across layouts (the reshape is value-neutral)."""
+    def test_layouts_decode_identically(self, setup):
+        """Same quantization, different storage: decode-step logits must
+        match across layouts (the relayout is value-neutral; transposed
+        reassociates the same dots, so allclose at fp32)."""
         cfg, params, hidden, mask = setup
         token = jnp.zeros((hidden.shape[0],), dtype=jnp.int32)
-        outs = []
-        for merged in (False, True):
+        outs = {}
+        for layout in ("unmerged", "merged", "transposed"):
             q8_cfg = dataclasses.replace(cfg, int8_cross_kv=True,
-                                         int8_kv_merged=merged)
+                                         int8_kv_layout=layout)
             cache = init_decode_cache(params, q8_cfg, hidden, 6)
             logits, _ = t5_decode_step(params, q8_cfg, token, cache, mask)
-            outs.append(np.asarray(logits))
-        np.testing.assert_array_equal(outs[0], outs[1])
+            outs[layout] = np.asarray(logits)
+        np.testing.assert_array_equal(outs["unmerged"], outs["merged"])
+        np.testing.assert_allclose(outs["unmerged"], outs["transposed"],
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_bad_layout_rejected(self, setup):
+        cfg, params, hidden, _ = setup
+        bad = dataclasses.replace(cfg, int8_cross_kv=True,
+                                  int8_kv_layout="diagonal")
+        with pytest.raises(ValueError, match="int8_kv_layout"):
+            init_decode_cache(params, bad, hidden, 6)
 
     def test_dequant_error_within_per_channel_bound(self, setup):
         cfg, params, hidden, _ = setup
