@@ -328,3 +328,57 @@ class TestMeshEncoders:
         assert _check_encoder_mesh(None, 4) is None
         assert make_data_mesh(1) is None
         assert make_data_mesh(0) is None
+
+
+class TestTrainStepStudy:
+    """tools/train_step_study.py — the mapper train-step MFU accounting
+    (VERDICT r4 #2). Real numbers come from the chip run in PARITY.md;
+    here we pin the analytic FLOP model and the --tiny machinery."""
+
+    def test_flop_model_scales_linearly_in_layers_and_tokens(self):
+        from explicit_alignment_for_vqa_tasks_tpu.models.t5 import T5Config
+        from explicit_alignment_for_vqa_tasks_tpu.tools.train_step_study import (
+            t5_train_flops_per_example,
+        )
+
+        cfg = T5Config.small_test()
+        base = t5_train_flops_per_example(cfg, enc_len=8, dec_len=16)
+        # fwd + 1x-dx backward, dW excluded -> with_dw adds exactly fwd/2
+        with_dw = t5_train_flops_per_example(cfg, 8, 16, with_dw=True)
+        assert with_dw == pytest.approx(base * 1.5)
+        # param-matmul terms are linear in token counts; attention terms
+        # quadratic — doubling dec_len must grow FLOPs by more than 2x
+        # of the dec-linear share but stay below fully-quadratic growth
+        double_dec = t5_train_flops_per_example(cfg, 8, 32)
+        assert base < double_dec < 4 * base
+        # 10-token prefix encoder at T0-3B shape: the decoder dominates
+        big = T5Config()  # t0_3b defaults
+        f = t5_train_flops_per_example(big, enc_len=10, dec_len=32)
+        # ~3B params, 42 tokens, fwd+bwd(dx) = 2x fwd -> order 1e12
+        assert 1e11 < f < 1e13
+
+    @pytest.mark.heavy
+    def test_tiny_smoke_emits_all_sections(self, capsys, monkeypatch):
+        import sys as _sys
+
+        from explicit_alignment_for_vqa_tasks_tpu.tools import (
+            train_step_study,
+        )
+
+        monkeypatch.setattr(
+            _sys, "argv",
+            ["train_step_study", "--tiny", "--cpu", "--batches", "4",
+             "--steps", "2", "--trials", "1",
+             "--variants", "base,fwd"],
+        )
+        train_step_study.main()
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        out = json.loads(line)
+        assert out["config"]["tiny"] is True
+        assert "4" in out["batch_sweep"]
+        assert out["batch_sweep"]["4"]["ms_per_step"] > 0
+        fwd = out["variants"]["fwd"]
+        # forward-only must be faster than the full step, and the bound
+        # arithmetic must have fired off the measured pair
+        assert fwd["ms_per_step"] < out["variants"]["base"]["ms_per_step"]
+        assert out["int8_forward_bound"]["max_step_speedup"] > 1.0
