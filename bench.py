@@ -168,14 +168,17 @@ DECODE_POINTS = [
     ("int8_b64_full_budget",
      ["--batch", "64", "--int8_cross_kv", "--int8_ffn", "--int8_attn",
       "--int8_decoder"]),
-    ("int8_b64_realistic_answers",
-     ["--batch", "64", "--int8_cross_kv", "--int8_ffn", "--int8_attn",
-      "--int8_decoder", "--eos_at_steps", "2,3,4,5"]),
     # the capacity point: B=96 only fits with the transposed int8
-    # cross-KV layout (auto picks it at B>=96) — 75.9 prompts/s r5
+    # cross-KV layout (auto picks it at B>=96) — 75.9 prompts/s r5;
+    # B=112/128 OOM (PARITY "Decode batch-capacity curve")
     ("int8_b96_capacity",
      ["--batch", "96", "--int8_cross_kv", "--int8_ffn", "--int8_attn",
       "--int8_decoder"]),
+    # realistic VQA answer lengths (per-row forced EOS at steps 2-5) at
+    # the capacity batch — 104.3 prompts/s r5
+    ("int8_b96_realistic_answers",
+     ["--batch", "96", "--int8_cross_kv", "--int8_ffn", "--int8_attn",
+      "--int8_decoder", "--eos_at_steps", "2,3,4,5"]),
 ]
 
 
