@@ -32,6 +32,7 @@ import argparse
 import json
 import sys
 import time
+from functools import partial
 
 
 def t5_train_flops_per_example(cfg, enc_len: int, dec_len: int,
@@ -97,6 +98,11 @@ def main() -> None:
     from ..models.vct0 import VCT0Config, init_vct0_params, vct0_caption_loss
     from ..utils.compilation_cache import enable_compilation_cache
 
+    if not args.cpu:
+        # the fused-attention kernels hold weights/scores in VMEM beyond
+        # the 16 MB default; must be raised before first backend use
+        from ..utils.tpu_flags import ensure_scoped_vmem_limit
+        ensure_scoped_vmem_limit(98304)
     enable_compilation_cache()
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
 
@@ -138,7 +144,9 @@ def main() -> None:
                 return mapper, opt_state, total
             return run
 
-        @jax.jit
+        # donate mapper+opt_state: chained steps reuse the same buffers
+        # instead of holding one generation per queued dispatch
+        @partial(jax.jit, donate_argnums=(0, 1))
         def step(mapper, opt_state, lm, clip, labels):
             loss, grads = jax.value_and_grad(vct0_caption_loss)(
                 mapper, lm, cfg, clip, labels
@@ -165,7 +173,13 @@ def main() -> None:
             size=(batch, args.caption_len),
         ).astype(np.int32))
         run = build_step(cfg, forward_only)
-        mapper = params["mapper"]
+
+        def fresh_mapper():
+            # the train step donates its mapper/opt_state buffers, so
+            # each trial needs its own copy of the initial params
+            return jax.tree.map(jnp.copy, params["mapper"])
+
+        mapper = fresh_mapper()
         opt_state = tx.init(mapper)
         t0 = time.perf_counter()
         mapper, opt_state, loss = run(mapper, opt_state, params["lm"],
@@ -175,7 +189,7 @@ def main() -> None:
               file=sys.stderr)
         best = float("inf")
         for _ in range(args.trials):
-            mapper = params["mapper"]
+            mapper = fresh_mapper()
             opt_state = tx.init(mapper)
             t0 = time.perf_counter()
             mapper, opt_state, loss = run(mapper, opt_state, params["lm"],
