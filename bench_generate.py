@@ -71,6 +71,13 @@ def main() -> None:
                         "(self q/k/v/o, cross q/o, FFN) — halves the "
                         "per-step HBM weight stream; composes with the "
                         "other int8 flags")
+    parser.add_argument("--prefill_chunks", type=int, default=1,
+                        help="run the encoder + cross-KV cache build in "
+                        "N batch chunks (value-equal); cuts the prefill "
+                        "activation peak that sets the decode "
+                        "batch-capacity wall — lets B=112+ fit where "
+                        "unchunked prefill OOMs (PARITY 'Decode "
+                        "batch-capacity curve')")
     parser.add_argument("--ensembles", type=int, default=0,
                         help="E > 0: measure the prompt-permutation "
                         "ensembling eval surface (E members per question, "
@@ -215,6 +222,7 @@ def main() -> None:
             out_tokens, logprobs = model.generate(
                 prefix=prefix_j, question_tokens=tok_j, question_mask=mask_j,
                 max_new_tokens=args.decode_steps, force_eos_at=force_eos_at,
+                prefill_chunks=args.prefill_chunks,
             )
             # fetch forces execution (block_until_ready is unreliable
             # through the axon tunnel)
@@ -247,6 +255,7 @@ def main() -> None:
             "int8_encoder_ffn": bool(args.int8_ffn),
             "int8_encoder_attn": bool(args.int8_attn),
             "int8_decoder_step": bool(args.int8_decoder),
+            "prefill_chunks": args.prefill_chunks,
             "ensembles": args.ensembles or None,
             "members_per_call": (
                 args.members_per_call if args.ensembles else None

@@ -901,15 +901,22 @@ def _resolve_kv_layout(cfg: T5Config, batch: int) -> str:
     return "transposed" if batch >= 96 else "unmerged"
 
 
-def init_decode_cache(
-    params: Params, cfg: T5Config, encoder_hidden: jax.Array, max_len: int
+def cross_kv_cache(
+    params: Params, cfg: T5Config, encoder_hidden: jax.Array,
+    layout_batch: Optional[int] = None,
 ) -> Params:
-    """Cache pytree: cross-attn K/V precomputed once; self-attn K/V are
-    (num_layers, B, max_len, H, kv) buffers filled step by step."""
+    """The cross-attention K/V cache leaves (quantized when
+    cfg.int8_cross_kv), factored out of ``init_decode_cache`` so chunked
+    prefill (ops/decoding.py::chunked_prefill_greedy_decode_t5) can build
+    them per batch chunk. Every leaf's batch axis is axis 1 (the layer
+    scan stacks axis 0), so chunks concatenate on axis 1.
+
+    ``layout_batch``: batch used to resolve the int8 storage layout —
+    pass the FULL decode batch when prefilling in chunks so the cache
+    layout matches what ``t5_decode_step`` resolves at decode time."""
     dec = params["decoder"]
     batch = encoder_hidden.shape[0]
     h, kv = cfg.num_heads, cfg.d_kv
-    nl = cfg.num_decoder_layers
 
     if cfg.int8_cross_kv:
         # per-(layer,row,head,channel) symmetric int8 over the length
@@ -924,7 +931,9 @@ def init_decode_cache(
         # transposed (B, H, kv, L) tiles within ~3% AND feeds the dots
         # directly. t5_decode_step resolves the same layout from
         # (cfg, batch).
-        layout = _resolve_kv_layout(cfg, batch)
+        layout = _resolve_kv_layout(
+            cfg, batch if layout_batch is None else layout_batch
+        )
 
         def cross_kv_q8(carry, layer_p):
             k = _project(encoder_hidden, layer_p["k"], h)
@@ -956,15 +965,10 @@ def init_decode_cache(
             cross_kv_q8, None, dec["cross_attn"]
         )
         return {
-            "self_k": jnp.zeros((nl, batch, max_len, h, kv),
-                                dtype=cfg.dtype),
-            "self_v": jnp.zeros((nl, batch, max_len, h, kv),
-                                dtype=cfg.dtype),
             "cross_k": k8,
             "cross_k_scale": ks,
             "cross_v": v8,
             "cross_v_scale": vs,
-            "index": jnp.zeros((), dtype=jnp.int32),
         }
 
     def cross_kv(carry, layer_p):
@@ -975,13 +979,25 @@ def init_decode_cache(
     _, (cross_k, cross_v) = jax.lax.scan(
         cross_kv, None, dec["cross_attn"]
     )
-    return {
+    return {"cross_k": cross_k, "cross_v": cross_v}
+
+
+def init_decode_cache(
+    params: Params, cfg: T5Config, encoder_hidden: jax.Array, max_len: int
+) -> Params:
+    """Cache pytree: cross-attn K/V precomputed once (``cross_kv_cache``);
+    self-attn K/V are (num_layers, B, max_len, H, kv) buffers filled step
+    by step."""
+    batch = encoder_hidden.shape[0]
+    h, kv = cfg.num_heads, cfg.d_kv
+    nl = cfg.num_decoder_layers
+    cache = {
         "self_k": jnp.zeros((nl, batch, max_len, h, kv), dtype=cfg.dtype),
         "self_v": jnp.zeros((nl, batch, max_len, h, kv), dtype=cfg.dtype),
-        "cross_k": cross_k,
-        "cross_v": cross_v,
         "index": jnp.zeros((), dtype=jnp.int32),
     }
+    cache.update(cross_kv_cache(params, cfg, encoder_hidden))
+    return cache
 
 
 def t5_decode_step(

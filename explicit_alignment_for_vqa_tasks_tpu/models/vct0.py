@@ -138,13 +138,14 @@ import functools  # noqa: E402
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "num_prefixes", "max_new_tokens", "num_beams"),
+    static_argnames=("cfg", "num_prefixes", "max_new_tokens", "num_beams",
+                     "prefill_chunks"),
 )
 def _generate_main(
     lm_params: Params, mapper_params: Params, cfg: VCT0Config,
     prefix: jax.Array, tokens: jax.Array, mask: jax.Array,
     num_prefixes: int, max_new_tokens: int, num_beams: int = 1,
-    force_eos_at: Optional[jax.Array] = None,
+    force_eos_at: Optional[jax.Array] = None, prefill_chunks: int = 1,
 ):
     text_embeds = t5_lib.embed_tokens(lm_params, cfg.lm, tokens)
     prefix_proj = project_prefix(cfg, mapper_params, prefix)
@@ -153,6 +154,14 @@ def _generate_main(
         prefix_length=cfg.prefix_length, num_prefixes=num_prefixes,
         base_id=cfg.sentinel_base,
     )
+    if prefill_chunks > 1:
+        # encode + quantize the cross-KV in batch chunks to cut the
+        # prefill activation peak; decode at full B (the B>=112 capacity
+        # lever, value-equal — see chunked_prefill_greedy_decode_t5)
+        return _decoding.chunked_prefill_greedy_decode_t5(
+            lm_params, cfg.lm, joint, joint_mask, max_new_tokens,
+            prefill_chunks=prefill_chunks, force_eos_at=force_eos_at,
+        )
     hidden = t5_lib.t5_encode(
         lm_params, cfg.lm, inputs_embeds=joint, attention_mask=joint_mask
     )
@@ -522,6 +531,7 @@ class VCT0Model:
         max_new_tokens: int = 20,
         num_beams: int = 1,
         force_eos_at: Optional[jax.Array] = None,
+        prefill_chunks: int = 1,
     ) -> Tuple[jax.Array, jax.Array]:
         """Returns (tokens (B, T), token_logprobs (B, T)). With
         num_beams > 1 the logprobs are the winning hypothesis's true
@@ -531,7 +541,13 @@ class VCT0Model:
         ``force_eos_at`` ((B,) int32, bench_generate.py --eos_at_steps)
         force-finishes each row at a chosen decode step so the early-exit
         loop can be measured under a realistic answer-length
-        distribution; main greedy path only."""
+        distribution; main greedy path only.
+
+        ``prefill_chunks`` > 1 runs the encoder + cross-KV cache build in
+        batch chunks (value-equal; cuts the prefill activation peak that
+        sets the decode batch-capacity wall — see
+        ops/decoding.py::chunked_prefill_greedy_decode_t5); main greedy
+        path only."""
         if force_eos_at is not None and (
             num_beams > 1 or no_prefix or decoder_input_ids is not None
             or pass_examples_through_encoder_one_at_a_time
@@ -540,6 +556,15 @@ class VCT0Model:
             raise ValueError(
                 "force_eos_at is a bench hook for the main single-device "
                 "greedy generate path only"
+            )
+        if prefill_chunks > 1 and (
+            num_beams > 1 or no_prefix or decoder_input_ids is not None
+            or pass_examples_through_encoder_one_at_a_time
+            or self.pipeline_ctx is not None or question_tokens is None
+        ):
+            raise ValueError(
+                "prefill_chunks > 1 is supported on the main "
+                "single-device greedy generate path only"
             )
         if num_beams > 1 and decoder_input_ids is not None:
             # forced_decode_t5 teacher-forces then continues GREEDILY;
@@ -577,18 +602,20 @@ class VCT0Model:
                 prefix, question_tokens, question_mask, decoder_input_ids,
                 no_prefix, pass_examples_through_encoder_one_at_a_time,
                 num_shots, max_new_tokens, num_beams, force_eos_at,
+                prefill_chunks,
             )
             return tokens[:orig_batch], lps[:orig_batch]
         return self._generate_inner(
             prefix, question_tokens, question_mask, decoder_input_ids,
             no_prefix, pass_examples_through_encoder_one_at_a_time,
             num_shots, max_new_tokens, num_beams, force_eos_at,
+            prefill_chunks,
         )
 
     def _generate_inner(
         self, prefix, question_tokens, question_mask, decoder_input_ids,
         no_prefix, pass_examples_through_encoder_one_at_a_time, num_shots,
-        max_new_tokens, num_beams, force_eos_at=None,
+        max_new_tokens, num_beams, force_eos_at=None, prefill_chunks=1,
     ) -> Tuple[jax.Array, jax.Array]:
         cfg, params = self.cfg, self.params
         lm_params, mapper_params = params["lm"], params["mapper"]
@@ -661,6 +688,7 @@ class VCT0Model:
                     question_mask, num_prefixes=num_prefixes,
                     max_new_tokens=max_new_tokens, num_beams=num_beams,
                     force_eos_at=force_eos_at,
+                    prefill_chunks=prefill_chunks,
                 )
             # forced decoder prefix: only the test image's prefix is
             # spliced (reference: vct0.py:466-482)

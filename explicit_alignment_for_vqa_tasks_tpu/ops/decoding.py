@@ -51,9 +51,24 @@ def greedy_decode_t5(
     budget). None — the production value — leaves the compiled graph
     untouched; when set, the only addition is one vector compare per
     step."""
-    batch = encoder_hidden.shape[0]
     cache = t5_lib.init_decode_cache(params, cfg, encoder_hidden,
                                      max_new_tokens)
+    return greedy_decode_from_cache(params, cfg, cache, encoder_mask,
+                                    max_new_tokens, force_eos_at)
+
+
+def greedy_decode_from_cache(
+    params: Dict[str, Any],
+    cfg: t5_lib.T5Config,
+    cache: Dict[str, Any],
+    encoder_mask: jax.Array,       # (B, L)
+    max_new_tokens: int = 20,
+    force_eos_at: Any = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """``greedy_decode_t5``'s loop from a prebuilt decode cache
+    (``t5.init_decode_cache`` or ``chunked_prefill_greedy_decode_t5``'s
+    chunk-merged one)."""
+    batch = encoder_mask.shape[0]
 
     buf = jnp.full((batch, max_new_tokens), cfg.pad_token_id, jnp.int32)
     lp_buf = jnp.zeros((batch, max_new_tokens), jnp.float32)
@@ -103,6 +118,74 @@ def encode_and_greedy_decode_t5(
     )
     return greedy_decode_t5(params, cfg, encoder_hidden, attention_mask,
                             max_new_tokens)
+
+
+def chunked_prefill_greedy_decode_t5(
+    params: Dict[str, Any],
+    cfg: t5_lib.T5Config,
+    inputs_embeds: jax.Array,      # (B, L, D)
+    attention_mask: jax.Array,     # (B, L)
+    max_new_tokens: int = 20,
+    prefill_chunks: int = 2,
+    force_eos_at: Any = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Encode + build the cross-KV cache in batch chunks, decode at full B.
+
+    The decode-capacity wall (PARITY "Decode batch-capacity curve": OOM
+    at B=112 with the full int8 stack) is a PREFILL-peak OOM — the
+    encoder activations at B x L x d_model plus the fp32 quantization
+    intermediates of ``cross_kv_cache`` peak while the persistent caches
+    are only ~58.7 MB/row. Running the prefill as a ``lax.scan`` over
+    ``prefill_chunks`` batch chunks shrinks that transient peak by
+    ~chunks x while the decode loop still runs at the FULL batch, so
+    the steady-state throughput point is unchanged.
+
+    Value-equal to the unchunked path: the encoder and the per-row
+    cross-KV quantization are row-independent (pinned in
+    tests/test_chunked_prefill.py). The int8 storage layout is resolved
+    from the FULL batch so the merged cache matches what
+    ``t5_decode_step`` resolves at decode time."""
+    batch = inputs_embeds.shape[0]
+    if batch % prefill_chunks:
+        raise ValueError(
+            f"prefill_chunks={prefill_chunks} must divide batch={batch}"
+        )
+    b = batch // prefill_chunks
+    emb = inputs_embeds.reshape((prefill_chunks, b)
+                                + inputs_embeds.shape[1:])
+    msk = attention_mask.reshape((prefill_chunks, b)
+                                 + attention_mask.shape[1:])
+
+    def chunk(carry, xm):
+        e, m = xm
+        hidden = t5_lib.t5_encode(
+            params, cfg, inputs_embeds=e, attention_mask=m
+        )
+        return carry, t5_lib.cross_kv_cache(
+            params, cfg, hidden, layout_batch=batch
+        )
+
+    _, stacked = jax.lax.scan(chunk, None, (emb, msk))
+    # every cross leaf is (chunks, nl, b, *rest); chunks are contiguous
+    # batch slices, so chunk-major merge restores row order
+    cross = jax.tree_util.tree_map(
+        lambda x: jnp.moveaxis(x, 0, 1).reshape(
+            (x.shape[1], batch) + x.shape[3:]
+        ),
+        stacked,
+    )
+    h, kv = cfg.num_heads, cfg.d_kv
+    nl = cfg.num_decoder_layers
+    cache = {
+        "self_k": jnp.zeros((nl, batch, max_new_tokens, h, kv),
+                            dtype=cfg.dtype),
+        "self_v": jnp.zeros((nl, batch, max_new_tokens, h, kv),
+                            dtype=cfg.dtype),
+        "index": jnp.zeros((), dtype=jnp.int32),
+        **cross,
+    }
+    return greedy_decode_from_cache(params, cfg, cache, attention_mask,
+                                    max_new_tokens, force_eos_at)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
