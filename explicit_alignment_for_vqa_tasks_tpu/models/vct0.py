@@ -155,6 +155,11 @@ def _generate_main(
         base_id=cfg.sentinel_base,
     )
     if prefill_chunks > 1:
+        if num_beams > 1:
+            raise ValueError(
+                "prefill_chunks > 1 is greedy-only (beam search expands "
+                "the batch before the cache is built)"
+            )
         # encode + quantize the cross-KV in batch chunks to cut the
         # prefill activation peak; decode at full B (the B>=112 capacity
         # lever, value-equal — see chunked_prefill_greedy_decode_t5)
